@@ -1,0 +1,90 @@
+"""cvt_color tests: bit-exactness vs the reference algorithm oracle,
+plus the reference's own roundtrip-vs-original-BGR check
+(test_cvt_color.cpp:23-57), plus the pallas kernel in interpret mode."""
+import numpy as np
+import pytest
+
+import vacv_tpu as vc
+from vacv_tpu.utils.compare import cosine_similarity
+from vacv_tpu.utils.io import bgr2nv21_numpy, nv21_planes
+
+from oracle import nv_to_bgr
+
+
+def _nv_buffer(bgr):
+    h, w, _ = bgr.shape
+    nv21 = bgr2nv21_numpy(bgr)
+    return nv21.reshape(h * 3 // 2, w)
+
+
+@pytest.mark.parametrize("code,is_nv12", [
+    (vc.COLOR_YUV2BGR_NV21, False),
+    (vc.COLOR_YUV2BGR_NV12, True),
+])
+def test_nv_to_bgr_bit_exact(bgr_176x144, code, is_nv12):
+    buf = _nv_buffer(bgr_176x144)
+    h, w = bgr_176x144.shape[:2]
+    y, vu = nv21_planes(buf.ravel(), w, h)
+    ref = nv_to_bgr(y, vu, is_nv12)
+    out = vc.cvt_color(buf, code)
+    assert out.shape == (h, w, 3)
+    np.testing.assert_array_equal(out.numpy(), ref)
+
+
+def test_nv21_roundtrip_vs_original(bgr_640x360):
+    # The reference's own correctness check: convert BGR->NV21->BGR and
+    # compare against the original (test_cvt_color.cpp:47-49, bar 5e-4).
+    buf = _nv_buffer(bgr_640x360)
+    out = vc.cvt_color(buf, vc.COLOR_YUV2BGR_NV21).numpy()
+    assert abs(cosine_similarity(out, bgr_640x360) - 1) < 5e-4
+
+
+def test_rgb_order(bgr_176x144):
+    buf = _nv_buffer(bgr_176x144)
+    bgr = vc.cvt_color(buf, vc.COLOR_YUV2BGR_NV21).numpy()
+    rgb = vc.cvt_color(buf, vc.COLOR_YUV2RGB_NV21).numpy()
+    np.testing.assert_array_equal(rgb, bgr[..., ::-1])
+
+
+def test_bgra_alpha(bgr_176x144):
+    buf = _nv_buffer(bgr_176x144)
+    bgra = vc.cvt_color(buf, vc.ColorCode.COLOR_YUV2BGRA_NV21).numpy()
+    assert bgra.shape[-1] == 4
+    assert (bgra[..., 3] == 255).all()
+
+
+def test_gray2bgr():
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = vc.cvt_color(gray, vc.COLOR_GRAY2BGR).numpy()
+    assert out.shape == (8, 8, 3)
+    for k in range(3):
+        np.testing.assert_array_equal(out[..., k], gray)
+
+
+def test_yv12(bgr_176x144):
+    # Build a YV12 buffer from the NV21 synthesis (same Y; planar V,U).
+    h, w, _ = bgr_176x144.shape
+    nv21 = bgr2nv21_numpy(bgr_176x144)
+    y, vu = nv21_planes(nv21, w, h)
+    v = vu[:, 0::2]
+    u = vu[:, 1::2]
+    yv12 = np.concatenate([y.ravel(), v.ravel(), u.ravel()]).reshape(h * 3 // 2, w)
+    out = vc.cvt_color(yv12, vc.ColorCode.COLOR_YUV2BGR_YV12).numpy()
+    ref = nv_to_bgr(y, vu, is_nv12=False)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_kernel_matches_jnp(bgr_176x144):
+    from vacv_tpu.ops.cvt_color import nv_to_bgr_planes_jnp
+    from vacv_tpu.ops.pallas.yuv2bgr import nv_to_bgr_pallas
+
+    buf = _nv_buffer(bgr_176x144)
+    h, w = bgr_176x144.shape[:2]
+    y, vu = nv21_planes(buf.ravel(), w, h)
+    import jax.numpy as jnp
+
+    yj, vuj = jnp.asarray(y), jnp.asarray(vu)
+    ref = nv_to_bgr_planes_jnp(yj, vuj, is_nv12=False)
+    out = nv_to_bgr_pallas(yj, vuj, is_nv12=False)
+    for o, r in zip(out, ref):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(r))

@@ -1,0 +1,53 @@
+"""layout_change + dtype_change tests (model: reference
+test_change_layout.cpp / test_change_dtype.cpp round-trips, plus the
+truncation semantics of tensor.cpp:349-390)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vacv_tpu as vc
+
+
+def test_layout_roundtrip(bgr_640x360):
+    img = vc.as_image(bgr_640x360)
+    chw = vc.change_layout(img, vc.CHW)
+    assert chw.layout == vc.CHW
+    np.testing.assert_array_equal(
+        chw.numpy(), np.transpose(bgr_640x360, (2, 0, 1))
+    )
+    back = vc.change_layout(chw, vc.HWC)
+    np.testing.assert_array_equal(back.numpy(), bgr_640x360)
+
+
+def test_layout_single_channel_noop():
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = vc.change_layout(gray, vc.CHW)
+    np.testing.assert_array_equal(out.numpy(), gray)
+
+
+def test_dtype_u8_to_f32(bgr_640x360):
+    out = vc.change_dtype(bgr_640x360, jnp.float32)
+    assert out.dtype == jnp.float32
+    np.testing.assert_array_equal(out.numpy(), bgr_640x360.astype(np.float32))
+
+
+def test_dtype_f32_to_u8_truncates():
+    # The reference NEON path truncates toward zero and saturates
+    # (tensor.cpp:349-390).
+    x = np.array([[-3.7, -0.2, 0.0, 0.4, 0.9, 1.1, 254.9, 255.0, 300.5]],
+                 dtype=np.float32)
+    out = vc.change_dtype(x, jnp.uint8)
+    np.testing.assert_array_equal(
+        out.numpy(), np.array([[0, 0, 0, 0, 0, 1, 254, 255, 255]], dtype=np.uint8)
+    )
+
+
+def test_dtype_roundtrip(bgr_640x360):
+    f = vc.change_dtype(bgr_640x360, jnp.float32)
+    back = vc.change_dtype(f, jnp.uint8)
+    np.testing.assert_array_equal(back.numpy(), bgr_640x360)
+
+
+def test_dtype_unsupported():
+    with pytest.raises(NotImplementedError):
+        vc.change_dtype(np.zeros((2, 2), np.uint8), jnp.int16)

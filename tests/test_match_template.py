@@ -1,0 +1,56 @@
+"""match_template + min_max_idx vs OpenCV for all six TM_* modes."""
+import cv2
+import numpy as np
+import pytest
+
+import vacv_tpu as vc
+from vacv_tpu.utils.compare import cosine_similarity
+
+MODES = [
+    (vc.TM_SQDIFF, cv2.TM_SQDIFF),
+    (vc.TM_SQDIFF_NORMED, cv2.TM_SQDIFF_NORMED),
+    (vc.TM_CCORR, cv2.TM_CCORR),
+    (vc.TM_CCORR_NORMED, cv2.TM_CCORR_NORMED),
+    (vc.TM_CCOEFF, cv2.TM_CCOEFF),
+    (vc.TM_CCOEFF_NORMED, cv2.TM_CCOEFF_NORMED),
+]
+
+
+@pytest.mark.parametrize("ours,theirs", MODES)
+@pytest.mark.parametrize("channels", [1, 3])
+def test_modes_vs_opencv(bgr_176x144, ours, theirs, channels):
+    src = bgr_176x144.astype(np.float32)
+    if channels == 1:
+        src = src[..., 0]
+    templ = src[40:70, 50:90] if channels == 1 else src[40:70, 50:90, :]
+    ref = cv2.matchTemplate(src, templ, theirs)
+    out = vc.match_template(src, templ, ours).numpy()
+    assert out.shape == ref.shape
+    assert abs(cosine_similarity(out, ref) - 1) < 1e-4
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=2e-3)
+
+
+def test_peak_location_matches(bgr_176x144):
+    src = bgr_176x144.astype(np.float32)
+    templ = src[30:62, 20:52]
+    out = vc.match_template(src, templ, vc.TM_CCOEFF_NORMED)
+    _, max_val, _, max_idx = vc.min_max_idx(out)
+    h_r, w_r = out.shape[:2]
+    my, mx = divmod(int(max_idx), w_r)
+    assert (my, mx) == (30, 20)
+    assert float(max_val) > 0.99
+
+
+def test_min_max_idx_basic():
+    x = np.array([[3.0, 1.0], [7.0, -2.0]], np.float32)
+    mn, mx, mi, ma = vc.min_max_idx(x)
+    assert float(mn) == -2.0 and float(mx) == 7.0
+    assert int(mi) == 3 and int(ma) == 2
+
+
+def test_min_max_idx_mask():
+    x = np.array([[3.0, 1.0], [7.0, -2.0]], np.float32)
+    mask = np.array([[1, 1], [0, 0]], np.uint8)
+    mn, mx, mi, ma = vc.min_max_idx(x, mask)
+    assert float(mn) == 1.0 and float(mx) == 3.0

@@ -1,0 +1,94 @@
+"""warp_affine tests vs the bit-level spec oracle and OpenCV
+(model: reference test_warp_affine.cpp — its fixed 2x3 matrix and the
+scale/rot + aux-param recentring form)."""
+import cv2
+import numpy as np
+import pytest
+
+import vacv_tpu as vc
+from vacv_tpu.utils.compare import cosine_similarity
+
+from oracle import warp_affine_u8
+
+# The matrix the reference tests use (test_warp_affine.cpp:25-30).
+REF_M = np.array(
+    [[0.849158, 0.012257, -474.827], [-0.01225, 0.849158, -379.18]],
+    dtype=np.float32,
+)
+
+
+def test_u8_bit_parity_with_spec_oracle(bgr_640x360):
+    # Same linear part as the reference matrix, translation scaled to
+    # the 640x360 test image so the ROI lands inside the source.
+    m = REF_M.copy()
+    m[0, 2], m[1, 2] = -60.0, -40.0
+    out = vc.warp_affine(bgr_640x360, m, (240, 240), edge_mode="vacv").numpy()
+    m_inv = vc.invert_affine(m)
+    ref = warp_affine_u8(bgr_640x360, m_inv, 240, 240)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.float32])
+def test_vs_opencv(bgr_640x360, dtype):
+    m = np.array([[0.7, 0.1, 20.0], [-0.1, 0.7, 30.0]], np.float32)
+    src = bgr_640x360.astype(dtype)
+    ref = cv2.warpAffine(
+        src, m.astype(np.float64), (256, 200), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT,
+    )
+    out = vc.warp_affine(src, m, (256, 200)).numpy()
+    # edge semantics differ (reference skips the last valid row/col);
+    # cosine bar per BASELINE
+    assert abs(cosine_similarity(out, ref) - 1) < 1e-4
+
+
+def test_chw_matches_hwc(bgr_640x360):
+    m = np.array([[0.8, 0.05, 10.0], [-0.05, 0.8, 5.0]], np.float32)
+    hwc = vc.warp_affine(bgr_640x360, m, (128, 96)).numpy()
+    chw = vc.warp_affine(
+        vc.Image(np.transpose(bgr_640x360, (2, 0, 1)), vc.CHW), m, (128, 96)
+    ).numpy()
+    np.testing.assert_array_equal(np.transpose(chw, (1, 2, 0)), hwc)
+
+
+def test_rotation_matrix_matches_opencv():
+    ours = vc.get_rotation_matrix_2d(vc.VPoint(10, 20), 33.0, 1.2)
+    ref = cv2.getRotationMatrix2D((10.0, 20.0), 33.0, 1.2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_rot_form_with_aux_param(bgr_640x360):
+    # Scale/rot + aux recentring (reference test_warp_affine.cpp:195-335
+    # uses scale=1.073914, rot=-3.314525 with aux recentring).
+    scale, rot = 1.073914, -3.314525
+    aux = vc.VScalar(v0=300.0, v1=180.0, v2=70.0, v3=105.0)
+    out = vc.warp_affine_rot(bgr_640x360, scale, rot, (140, 210), aux).numpy()
+
+    rot_mat = cv2.getRotationMatrix2D((0.0, 0.0), rot, scale)
+    rot_mat[0, 2] = aux.v2 - rot_mat[0, 0] * aux.v0 - rot_mat[0, 1] * aux.v1
+    rot_mat[1, 2] = aux.v3 - rot_mat[1, 0] * aux.v0 - rot_mat[1, 1] * aux.v1
+    ref = cv2.warpAffine(bgr_640x360, rot_mat, (140, 210))
+    assert abs(cosine_similarity(out, ref) - 1) < 1e-4
+
+
+def test_inverse_map_flag(bgr_640x360):
+    m = np.array([[0.7, 0.1, 20.0], [-0.1, 0.7, 30.0]], np.float32)
+    m_inv = vc.invert_affine(m)
+    a = vc.warp_affine(bgr_640x360, m, (100, 80)).numpy()
+    b = vc.warp_affine(
+        bgr_640x360, m_inv, (100, 80),
+        flags=int(vc.INTER_LINEAR) | int(vc.InterMode.WARP_INVERSE_MAP),
+    ).numpy()
+    # same warp up to f32 matrix-inversion rounding
+    assert abs(cosine_similarity(a, b) - 1) < 1e-5
+
+
+def test_f32_matches_opencv_tight(bgr_640x360):
+    src = bgr_640x360.astype(np.float32)
+    m = np.array([[0.9, 0.0, 5.0], [0.0, 0.9, 8.0]], np.float32)
+    ref = cv2.warpAffine(src, m.astype(np.float64), (300, 250))
+    out = vc.warp_affine(src, m, (300, 250)).numpy()
+    interior = np.abs(out - ref)[5:-5, 5:-5]
+    assert interior.max() < 0.05

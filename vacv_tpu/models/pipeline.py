@@ -1,0 +1,108 @@
+"""Preprocess pipelines — the framework's "model" layer.
+
+The reference's end-to-end use case is a vision-model front-end: take a
+camera frame (NV21 or BGR), crop the ROI, resize to the network input,
+go planar fp32, normalize (BASELINE.json configs 1–5).  ``Preprocessor``
+captures that as a declarative config compiled once into a single XLA
+program; ``batched()`` lifts it over a sharded frame batch for
+multi-chip serving.
+
+The per-stage structure mirrors the reference call chains
+(e.g. test_crop.cpp:44-89's crop→layout→dtype chain and
+resize_normalize.cpp:15-107's fused pipeline), but under ``jit`` all
+stages fuse: the u8 source is read from HBM once; the resize matmuls,
+dtype widen, and normalize run out of VMEM.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from ..core.image import Image
+from ..core.types import ColorCode, InterMode, Layout, VRect
+from ..ops.crop import crop
+from ..ops.cvt_color import cvt_color
+from ..ops.normalize import normalize_jnp
+from ..ops.resize import resize
+from ..parallel.mesh import make_mesh
+from ..parallel.pipeline import shard_batched
+
+
+@dataclass(frozen=True)
+class PreprocessConfig:
+    """Declarative preprocessing recipe (all fields static)."""
+
+    # Optional color conversion applied first (input is then the NV
+    # stacked buffer); None means input is already BGR/gray.
+    color_code: ColorCode | None = None
+    # Optional crop ROI in source coordinates.
+    crop_rect: VRect | None = None
+    # Output spatial size (w, h); None keeps input size.
+    out_size: tuple[int, int] | None = None
+    interpolation: InterMode = InterMode.INTER_LINEAR
+    # Output layout & normalization.
+    out_layout: Layout = Layout.CHW
+    normalize: bool = True
+    mean: tuple[float, ...] | None = None
+    stddev: tuple[float, ...] | None = None
+
+
+class Preprocessor:
+    """Compiled single-image preprocess pipeline.
+
+    ``__call__`` takes an HWC u8 array (or NV stacked buffer when
+    ``color_code`` is set) and returns the network-ready array.
+    """
+
+    def __init__(self, cfg: PreprocessConfig):
+        self.cfg = cfg
+        self._fn = jax.jit(self._build())
+
+    def _build(self):
+        cfg = self.cfg
+
+        def run(arr):
+            img = Image(arr, Layout.HWC)
+            if cfg.color_code is not None:
+                img = cvt_color(img, cfg.color_code)
+            if cfg.crop_rect is not None:
+                img = crop(img, cfg.crop_rect)
+            if cfg.out_size is not None:
+                w, h = cfg.out_size
+                img = resize(img, (w, h), interpolation=cfg.interpolation)
+            img = img.change_layout(cfg.out_layout)
+            img = img.change_dtype(jnp.float32)
+            if cfg.normalize:
+                img = normalize_jnp(img, cfg.mean, cfg.stddev)
+            return img.data
+
+        return run
+
+    def __call__(self, arr):
+        return self._fn(arr)
+
+    @property
+    def fn(self):
+        """The raw traceable per-image function (for vmap/shard_map)."""
+        return self._build()
+
+    def batched(self, mesh=None):
+        """Sharded batch version: (N, ...) with N split over the mesh's
+        data axis."""
+        if mesh is None:
+            mesh = make_mesh()
+        return shard_batched(self._build(), mesh)
+
+
+def slam_frontend_config(src_hw: tuple[int, int] | None = None) -> PreprocessConfig:
+    """The BASELINE.json config-4 flagship: fused normalize pipeline
+    (crop → resize → chw → fp32 → normalize) for a SLAM/SfM keyframe
+    front-end."""
+    return PreprocessConfig(
+        out_size=(224, 224),
+        interpolation=InterMode.INTER_LINEAR,
+        out_layout=Layout.CHW,
+        normalize=True,
+    )

@@ -1,0 +1,156 @@
+"""cvt_color — NV12/NV21 YUV → BGR/RGB(A), gray → BGR (vacv op #1).
+
+The reference's NEON path is ~300 lines of ``vld2_u8`` deinterleave +
+Q7 integer math + a 3-stage ``vtrn`` transpose network to restore pixel
+order before ``vst3_u8`` (``/root/reference/src/cv/cvt_color.cpp:184-494``).
+On TPU the same computation is a handful of VPU-wide integer ops on
+whole planes: the 2×2 chroma upsample is a broadcast-reshape, and the
+interleave/deinterleave problem disappears because we keep channels
+planar.  The Q7 coefficient math matches ``nv_to_bgr_naive``
+(``cvt_color.cpp:76-94``):
+
+    ra = (179 (V-128)) >> 7
+    ga = (44 (U-128) + 91 (V-128)) >> 7
+    ba = (227 (U-128)) >> 7
+    B = clamp(Y + ba), G = clamp(Y - ga), R = clamp(Y + ra)
+
+with arithmetic shifts (floor division by 128) on signed int32 — the
+semantics of C's ``>>`` on the reference's negative intermediates.
+
+Dispatch notes: the reference only admits codes 91/93 natively and
+routes everything else to OpenCV; its NV12 test path even processes
+NV12 with NV21 chroma ordering (``cvt_color.cpp:139-149``, SURVEY §2.2).
+We fix that quirk: all eight NV codes plus YV12 and GRAY2BGR are
+handled natively with correct chroma order.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import config
+from ..core.image import Image, as_image
+from ..core.types import ColorCode, Layout
+
+# NV codes → (is_nv12, to_rgb, alpha)
+_NV_CODES = {
+    ColorCode.COLOR_YUV2RGB_NV12: (True, True, False),
+    ColorCode.COLOR_YUV2BGR_NV12: (True, False, False),
+    ColorCode.COLOR_YUV2RGB_NV21: (False, True, False),
+    ColorCode.COLOR_YUV2BGR_NV21: (False, False, False),
+    ColorCode.COLOR_YUV2RGBA_NV12: (True, True, True),
+    ColorCode.COLOR_YUV2BGRA_NV12: (True, False, True),
+    ColorCode.COLOR_YUV2RGBA_NV21: (False, True, True),
+    ColorCode.COLOR_YUV2BGRA_NV21: (False, False, True),
+}
+
+
+def _upsample2(x):
+    """2×2 nearest upsample of (h, w) -> (2h, 2w) via broadcast."""
+    h, w = x.shape
+    x = jnp.broadcast_to(x[:, None, :, None], (h, 2, w, 2))
+    return x.reshape(2 * h, 2 * w)
+
+
+def nv_to_bgr_planes(y_plane, vu_plane, *, is_nv12: bool):
+    """Planar NV→BGR core: returns (b, g, r) uint8 planes of Y's shape.
+
+    ``y_plane``: (h, w) u8; ``vu_plane``: (h//2, w) u8 interleaved
+    chroma pairs (NV21: V,U; NV12: U,V).
+
+    The pallas kernel is currently opt-in only (``VACV_BACKEND=pallas``):
+    its 2×2 chroma upsample needs a lane-interleave reshape that the
+    current Mosaic release refuses to lower on real TPUs (it passes in
+    interpret mode); the jnp path XLA-fuses into a single elementwise
+    kernel and is the production path meanwhile.
+    """
+    if config.get_backend() == "pallas":
+        from .pallas.yuv2bgr import nv_to_bgr_pallas
+
+        return nv_to_bgr_pallas(y_plane, vu_plane, is_nv12=is_nv12)
+    return nv_to_bgr_planes_jnp(y_plane, vu_plane, is_nv12=is_nv12)
+
+
+def nv_to_bgr_planes_jnp(y_plane, vu_plane, *, is_nv12: bool):
+    """Pure-jnp reference implementation (XLA fuses the whole thing
+    into one elementwise kernel over the planes)."""
+    y = y_plane.astype(jnp.int32)
+    vu = vu_plane.astype(jnp.int32)
+    if is_nv12:
+        u_s, v_s = vu[:, 0::2], vu[:, 1::2]
+    else:
+        v_s, u_s = vu[:, 0::2], vu[:, 1::2]
+
+    v = _upsample2(v_s) - 128
+    u = _upsample2(u_s) - 128
+
+    # Arithmetic >> 7 == floor-division by 128 on negatives, matching
+    # C's signed shift in nv_to_bgr_naive (cvt_color.cpp:76-78).
+    ra = (179 * v) >> 7
+    ga = (44 * u + 91 * v) >> 7
+    ba = (227 * u) >> 7
+
+    b = jnp.clip(y + ba, 0, 255).astype(jnp.uint8)
+    g = jnp.clip(y - ga, 0, 255).astype(jnp.uint8)
+    r = jnp.clip(y + ra, 0, 255).astype(jnp.uint8)
+    return b, g, r
+
+
+def cvt_color(src, code: ColorCode | int) -> Image:
+    """Color conversion (parity: ``va_cv::cvt_color``, cv.h:95).
+
+    For NV codes, ``src`` is the flat NV buffer as produced by camera
+    pipelines: an ``Image``/array of shape ``(h * 3 // 2, w)`` u8 —
+    i.e. the Y plane stacked above the interleaved VU/UV plane — or a
+    1-D buffer of length ``w * h * 3 // 2`` is not accepted (shape
+    carries w).  Output is HWC u8, height ``= input_h * 2 // 3``
+    (parity: ``dst.create`` at cvt_color.cpp:151-156).
+    """
+    img = as_image(src)
+    code = ColorCode(code)
+
+    if code in (ColorCode.COLOR_GRAY2BGR,):
+        data = img.data if img.data.ndim == 2 else img.data[..., 0]
+        out = jnp.stack([data, data, data], axis=-1)
+        return Image(out, Layout.HWC)
+
+    if code == ColorCode.COLOR_YUV2BGR_YV12:
+        # YV12: planar Y (h,w), then V (h/2, w/2), then U (h/2, w/2),
+        # packed into the same (h*3/2, w) buffer.
+        data = img.data
+        full_h = data.shape[0] * 2 // 3
+        w = data.shape[1]
+        y = data[:full_h]
+        chroma = data[full_h:].reshape(-1)
+        half = (full_h // 2) * (w // 2)
+        v_s = chroma[:half].reshape(full_h // 2, w // 2)
+        u_s = chroma[half:].reshape(full_h // 2, w // 2)
+        yy = y.astype(jnp.int32)
+        v = _upsample2(v_s.astype(jnp.int32)) - 128
+        u = _upsample2(u_s.astype(jnp.int32)) - 128
+        ra = (179 * v) >> 7
+        ga = (44 * u + 91 * v) >> 7
+        ba = (227 * u) >> 7
+        b = jnp.clip(yy + ba, 0, 255).astype(jnp.uint8)
+        g = jnp.clip(yy - ga, 0, 255).astype(jnp.uint8)
+        r = jnp.clip(yy + ra, 0, 255).astype(jnp.uint8)
+        return Image(jnp.stack([b, g, r], axis=-1), Layout.HWC)
+
+    if code not in _NV_CODES:
+        raise NotImplementedError(f"cvt_color code {code!r} not supported")
+
+    is_nv12, to_rgb, alpha = _NV_CODES[code]
+    data = img.data
+    if data.ndim != 2:
+        raise ValueError(
+            f"NV input must be the (h*3//2, w) stacked buffer, got {data.shape}"
+        )
+    full_h = data.shape[0] * 2 // 3
+    y_plane = data[:full_h]
+    vu_plane = data[full_h:]
+    b, g, r = nv_to_bgr_planes(y_plane, vu_plane, is_nv12=is_nv12)
+
+    chans = [r, g, b] if to_rgb else [b, g, r]
+    if alpha:
+        chans.append(jnp.full_like(b, 255))
+    out = jnp.stack(chans, axis=-1)
+    return Image(out, Layout.HWC)

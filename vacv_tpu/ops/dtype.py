@@ -1,0 +1,54 @@
+"""dtype_change — u8↔fp32 (vacv op #4).
+
+Reference semantics (``/root/reference/src/common/tensor.cpp:297-502``):
+
+* u8 → f32: plain widening (NEON u8→u16→u32→f32 ladder,
+  ``tensor.cpp:297-347``) — exact, no rounding involved.
+* f32 → u8: **truncation toward zero** (NEON ``vcvtq_u32_f32`` then
+  saturating narrows, ``tensor.cpp:349-390``) — i.e. clamp to [0,255]
+  with fractional part dropped, *not* OpenCV's round-half-to-even
+  ``convertTo``.  We reproduce the truncate+saturate behaviour of the
+  NEON path (the reference's scalar path, a bare ``static_cast<char>``
+  at ``tensor.cpp:488-492``, wraps instead of saturating; the NEON
+  behaviour is the well-defined one and is what the reference actually
+  ships on its primary ARM targets).
+
+On TPU this is a pure element-wise VPU op; XLA fuses it into whatever
+producer/consumer surrounds it, so there is no Pallas kernel.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.image import Image, as_image
+
+
+def _to_f32(data):
+    return data.astype(jnp.float32)
+
+
+def _to_u8(data):
+    # Truncate toward zero, then saturate to [0, 255] — matches the
+    # reference NEON path (vcvtq_u32_f32 + vqmovn saturating narrows).
+    as_int = data.astype(jnp.int32)  # XLA f32->s32 convert truncates
+    return jnp.clip(as_int, 0, 255).astype(jnp.uint8)
+
+
+def change_dtype(src, dtype) -> Image:
+    """Convert ``src`` to ``dtype`` (uint8 or float32).
+
+    Accepts an ``Image`` or raw array (assumed HWC).
+    """
+    img = as_image(src)
+    dtype = jnp.dtype(dtype)
+    if img.data.dtype == dtype:
+        return img
+    if dtype == jnp.float32:
+        out = _to_f32(img.data)
+    elif dtype == jnp.uint8:
+        out = _to_u8(img.data)
+    else:
+        raise NotImplementedError(
+            f"change_dtype supports uint8<->float32 only, got {dtype}"
+        )
+    return img.with_data(out)

@@ -1,0 +1,129 @@
+"""match_template + minMaxIdx — all six TM_* modes, MXU-native.
+
+The reference wraps OpenCV's ``matchTemplate``/``minMaxIdx`` with naive
+/SSE/NEON slots left as todos
+(``/root/reference/src/cv/match_template.cpp:13-61``).  We implement the
+modes natively: cross-correlation lowers to
+``lax.conv_general_dilated`` (which XLA maps onto the MXU), and the
+windowed sums needed by the SQDIFF/NORMED/CCOEFF families reuse the
+same convolution machinery with a ones-kernel.  Formulas follow
+OpenCV's documented definitions; multi-channel images sum the
+numerator/denominator over channels.
+"""
+from __future__ import annotations
+
+import jax.lax as lax
+import jax.numpy as jnp
+
+from ..core.image import Image, as_image
+from ..core.types import Layout, MatchMode
+
+
+def _nchw(img: Image):
+    """(1, C, H, W) f32 view."""
+    d = img.data.astype(jnp.float32)
+    if d.ndim == 2:
+        return d[None, None]
+    if img.layout == Layout.HWC:
+        d = jnp.transpose(d, (2, 0, 1))
+    return d[None]
+
+
+def _corr(x, k):
+    """Valid cross-correlation: x (1,C,H,W) with k (1,C,th,tw) ->
+    (H-th+1, W-tw+1)."""
+    out = lax.conv_general_dilated(
+        x, k,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )
+    return out[0, 0]
+
+
+def match_template(src, target, method: MatchMode | int) -> Image:
+    """Parity: ``va_cv::match_template`` (cv.h:218-219).  Returns the
+    (H-th+1, W-tw+1) float32 response map as an ``Image``."""
+    method = MatchMode(method)
+    x = _nchw(as_image(src))
+    t = _nchw(as_image(target))
+    k = t  # (1, C, th, tw) used directly as the conv kernel
+    th, tw = k.shape[2], k.shape[3]
+    n = th * tw
+    ones = jnp.ones_like(k[:, :1])  # (1,1,th,tw)
+
+    if method in (MatchMode.TM_CCORR, MatchMode.TM_CCORR_NORMED):
+        num = _corr(x, k)
+        if method == MatchMode.TM_CCORR:
+            return Image(num, Layout.HWC)
+        wnd2 = _corr(jnp.sum(x * x, axis=1, keepdims=True), ones)
+        t2 = jnp.sum(k * k)
+        denom = jnp.sqrt(wnd2 * t2)
+        return Image(_normed_div(num, denom, sqdiff=False), Layout.HWC)
+
+    if method in (MatchMode.TM_SQDIFF, MatchMode.TM_SQDIFF_NORMED):
+        cc = _corr(x, k)
+        wnd2 = _corr(jnp.sum(x * x, axis=1, keepdims=True), ones)
+        t2 = jnp.sum(k * k)
+        num = wnd2 - 2.0 * cc + t2
+        if method == MatchMode.TM_SQDIFF:
+            return Image(num, Layout.HWC)
+        denom = jnp.sqrt(wnd2 * t2)
+        return Image(_normed_div(num, denom, sqdiff=True), Layout.HWC)
+
+    # CCOEFF family: mean-centred template per channel.
+    t_mean = jnp.mean(k, axis=(2, 3), keepdims=True)
+    kc = k - t_mean
+    num = _corr(x, kc)
+    if method == MatchMode.TM_CCOEFF:
+        return Image(num, Layout.HWC)
+
+    # Window variance term summed over channels:
+    #   Σ_c [ Σw x² − (Σw x)²/n ]
+    wnd2 = _corr(jnp.sum(x * x, axis=1, keepdims=True), ones)
+    wnd1_per_c = lax.conv_general_dilated(
+        x, jnp.broadcast_to(ones, (x.shape[1], 1, th, tw)),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=x.shape[1],
+        preferred_element_type=jnp.float32,
+    )[0]  # (C, H', W')
+    wnd_var = wnd2 - jnp.sum(wnd1_per_c * wnd1_per_c, axis=0) / n
+    t_var = jnp.sum(kc * kc)
+    denom = jnp.sqrt(jnp.maximum(wnd_var, 0.0) * t_var)
+    return Image(_normed_div(num, denom, sqdiff=False), Layout.HWC)
+
+
+def _normed_div(num, denom, *, sqdiff: bool):
+    """OpenCV's NORMED post-processing: |num| < den → num/den;
+    |num| < 1.125·den → ±1; else 1 for SQDIFF_NORMED, 0 otherwise
+    (guards both genuine out-of-range responses and ill-conditioned
+    flat windows, exactly as cv::matchTemplate does)."""
+    a = jnp.abs(num)
+    safe = jnp.where(denom > 0, denom, 1.0)
+    ratio = num / safe
+    near = jnp.where(num > 0, 1.0, -1.0)
+    far = jnp.float32(1.0 if sqdiff else 0.0)
+    return jnp.where(a < denom, ratio, jnp.where(a < 1.125 * denom, near, far))
+
+
+def min_max_idx(src, mask=None):
+    """Parity: ``va_cv::minMaxIdx`` (cv.h:230-231).
+
+    Returns ``(min_val, max_val, min_idx, max_idx)`` where the idx are
+    flat (row-major) positions like OpenCV's single-channel contract.
+    """
+    img = as_image(src)
+    d = img.data.astype(jnp.float32)
+    flat = d.reshape(-1)
+    if mask is not None:
+        m = as_image(mask).data.reshape(-1) != 0
+        big = jnp.float32(jnp.finfo(jnp.float32).max)
+        flat_min = jnp.where(m, flat, big)
+        flat_max = jnp.where(m, flat, -big)
+    else:
+        flat_min = flat_max = flat
+    min_idx = jnp.argmin(flat_min)
+    max_idx = jnp.argmax(flat_max)
+    return flat[min_idx], flat[max_idx], min_idx, max_idx

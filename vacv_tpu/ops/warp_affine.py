@@ -1,0 +1,226 @@
+"""warp_affine — inverse-mapped bilinear affine warp (vacv op #8).
+
+Reference algorithm (``/root/reference/src/cv/warp_affine.cpp:111-169``,
+``warp_affine_naive.cpp:9-106``): invert the forward 2×3 matrix, then
+for every destination pixel compute the source coordinate
+``(fx, fy) = M⁻¹ · (dx, dy, 1)``, skip pixels whose 2×2 support falls
+outside ``[0, w-2] × [0, h-2]``, and bilinear-blend (u8: Q11
+fixed-point, ``>> 22`` truncation; f32: float weights).
+
+TPU-first design: the destination coordinate field of an affine map is
+*linear*, so ``fx``/``fy`` are built with two broadcasted iotas — no
+per-pixel scalar loop.  The four source taps are fetched with a single
+flattened XLA gather (indices clamped, invalid pixels masked to the
+border value).  This is the one true gather in the op set; per SURVEY
+§7's "hard parts" a tiled Pallas variant with per-tile bounding-box
+loads is the planned fast path for large outputs, while the XLA gather
+is the always-correct baseline.
+
+Parity notes:
+* The reference destructively inverts the caller's M in place
+  (warp_affine.cpp:121-133) — we of course don't; pass
+  ``inverse=True``-style ``WARP_INVERSE_MAP`` via ``flags`` instead.
+* Out-of-bounds destination pixels are *left unwritten* by the
+  reference (relying on freshly-malloc'd zeros); we write the border
+  value (default 0), which is the same observable result with defined
+  semantics.
+* ``sx >= w_in - 1`` counts as out-of-bounds (the reference skips the
+  last valid column/row rather than clamping like OpenCV).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.image import Image, as_image
+from ..core.types import BorderMode, InterMode, Layout, VPoint, VScalar, VSize
+
+_COEF_SCALE = 2048.0
+
+
+def get_rotation_matrix_2d(point: VPoint, angle: float, scale: float) -> np.ndarray:
+    """2×3 rotation matrix, OpenCV-compatible (parity:
+    ``WarpAffine::get_rotation_matrix_2D``, warp_affine.cpp:76-94).
+
+    ``angle`` in degrees, positive = counter-clockwise.
+    """
+    a = np.deg2rad(angle)
+    alpha = scale * np.cos(a)
+    beta = scale * np.sin(a)
+    return np.array(
+        [
+            [alpha, beta, (1 - alpha) * point.x - beta * point.y],
+            [-beta, alpha, beta * point.x + (1 - alpha) * point.y],
+        ],
+        dtype=np.float32,
+    )
+
+
+def invert_affine(m: np.ndarray) -> np.ndarray:
+    """Invert a 2×3 affine matrix (parity: warp_affine.cpp:121-133,
+    minus the reference's in-place clobbering of the caller's data)."""
+    m = np.asarray(m, dtype=np.float64).reshape(2, 3)
+    det = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+    d = 1.0 / det if det != 0 else 0.0
+    a11 = m[1, 1] * d
+    a22 = m[0, 0] * d
+    a12 = -m[0, 1] * d
+    a21 = -m[1, 0] * d
+    b1 = -a11 * m[0, 2] - a12 * m[1, 2]
+    b2 = -a21 * m[0, 2] - a22 * m[1, 2]
+    return np.array([[a11, a12, b1], [a21, a22, b2]], dtype=np.float32)
+
+
+def _quantize_q11(w):
+    """Snap a weight in [0,1] to the Q11 grid like SATURATE_CAST_SHORT
+    (macro.h:25-30) does for the u8 fixed-point path."""
+    return jnp.floor(w * _COEF_SCALE + 0.5) / _COEF_SCALE
+
+
+def _warp_planes(planes, minv: np.ndarray, h_out: int, w_out: int, *, u8: bool,
+                 border_value: float, edge_mode: str):
+    """Warp (..., h_in, w_in) f32 planes with inverse matrix ``minv``.
+
+    ``edge_mode``:
+    * ``"opencv"`` (default): each of the four taps individually reads
+      the border value when outside the image — exact
+      ``cv::warpAffine`` BORDER_CONSTANT semantics.
+    * ``"vacv"``: any output pixel whose 2×2 support is not fully
+      inside ``[0, w-2]×[0, h-2]`` gets the border value outright —
+      the reference's skip-and-leave-zero semantics
+      (warp_affine_naive.cpp:26-38).
+    """
+    h_in, w_in = planes.shape[-2], planes.shape[-1]
+    m = [float(v) for v in np.asarray(minv, dtype=np.float32).ravel()]
+
+    # fx = m0*dx + m1*dy + m2 ; fy = m3*dx + m4*dy + m5
+    # (warp_affine_naive.cpp:23-24) — float32 throughout, as reference.
+    dx = jnp.arange(w_out, dtype=jnp.float32)[None, :]
+    dy = jnp.arange(h_out, dtype=jnp.float32)[:, None]
+    fx = jnp.float32(m[0]) * dx + jnp.float32(m[1]) * dy + jnp.float32(m[2])
+    fy = jnp.float32(m[3]) * dx + jnp.float32(m[4]) * dy + jnp.float32(m[5])
+
+    sx = jnp.floor(fx)
+    sy = jnp.floor(fy)
+    ax = fx - sx
+    ay = fy - sy
+    sx = sx.astype(jnp.int32)
+    sy = sy.astype(jnp.int32)
+
+    if u8:
+        # cbuf[0] = SAT(round((1-f)*2048)); cbuf[1] = 2048 - cbuf[0]
+        # (warp_affine_naive.cpp:31-41).
+        wx0 = _quantize_q11(1.0 - ax)
+        wx1 = 1.0 - wx0
+        wy0 = _quantize_q11(1.0 - ay)
+        wy1 = 1.0 - wy0
+    else:
+        wx0, wx1 = 1.0 - ax, ax
+        wy0, wy1 = 1.0 - ay, ay
+
+    # Flattened gathers, one per tap, each tap's coordinates clamped
+    # individually; indices (h_out*w_out,) shared across channels.
+    flat = planes.reshape(planes.shape[:-2] + (h_in * w_in,))
+    bv = jnp.float32(border_value)
+
+    def tap(tx, ty):
+        ok = (tx >= 0) & (tx <= w_in - 1) & (ty >= 0) & (ty <= h_in - 1)
+        idx = (
+            jnp.clip(ty, 0, h_in - 1) * w_in + jnp.clip(tx, 0, w_in - 1)
+        ).reshape(-1)
+        vals = jnp.take(flat, idx, axis=-1)
+        vals = vals.reshape(planes.shape[:-2] + (h_out, w_out))
+        return jnp.where(ok, vals, bv)
+
+    p00 = tap(sx, sy)
+    p01 = tap(sx + 1, sy)
+    p10 = tap(sx, sy + 1)
+    p11 = tap(sx + 1, sy + 1)
+
+    out = (
+        p00 * (wx0 * wy0)
+        + p10 * (wx0 * wy1)
+        + p01 * (wx1 * wy0)
+        + p11 * (wx1 * wy1)
+    )
+    if edge_mode == "vacv":
+        full_support = (sx >= 0) & (sx < w_in - 1) & (sy >= 0) & (sy < h_in - 1)
+        out = jnp.where(full_support, out, bv)
+    return out
+
+
+def warp_affine(
+    src,
+    M,
+    dsize: VSize | tuple,
+    flags: InterMode | int = InterMode.INTER_LINEAR,
+    border_mode: BorderMode | int = BorderMode.BORDER_CONSTANT,
+    border_value: VScalar | float = 0.0,
+    edge_mode: str = "opencv",
+) -> Image:
+    """Affine warp (parity: ``va_cv::warp_affine``, cv.h:118-122).
+
+    ``M`` is the *forward* 2×3 matrix (host-side numpy / list); pass
+    ``flags | WARP_INVERSE_MAP`` if it is already the inverse.
+    ``edge_mode="vacv"`` reproduces the reference's skip-edge-pixels
+    semantics instead of OpenCV's per-tap border blending.
+    """
+    img = as_image(src)
+    if isinstance(dsize, tuple):
+        dsize = VSize(*dsize)
+    flags = int(flags)
+    inverse = bool(flags & InterMode.WARP_INVERSE_MAP)
+    interp = InterMode(flags & ~int(InterMode.WARP_INVERSE_MAP))
+    if interp != InterMode.INTER_LINEAR:
+        raise NotImplementedError("warp_affine supports INTER_LINEAR only")
+    if BorderMode(border_mode) != BorderMode.BORDER_CONSTANT:
+        raise NotImplementedError("warp_affine supports BORDER_CONSTANT only")
+    bv = border_value.v0 if isinstance(border_value, VScalar) else float(border_value)
+
+    minv = np.asarray(M, dtype=np.float32).reshape(2, 3)
+    if not inverse:
+        minv = invert_affine(minv)
+
+    data = img.data
+    is_u8 = data.dtype == jnp.uint8
+    squeeze = data.ndim == 2
+    if squeeze:
+        planes = data[None]
+    elif img.layout == Layout.HWC:
+        planes = jnp.transpose(data, (2, 0, 1))
+    else:
+        planes = data
+
+    out = _warp_planes(
+        planes.astype(jnp.float32), minv, dsize.h, dsize.w, u8=is_u8,
+        border_value=bv, edge_mode=edge_mode,
+    )
+    if is_u8:
+        # Q22 truncation parity (warp_affine_naive.cpp:50-54).
+        out = jnp.clip(jnp.floor(out + 1e-4), 0, 255).astype(jnp.uint8)
+
+    if squeeze:
+        out = out[0]
+    elif img.layout == Layout.HWC:
+        out = jnp.transpose(out, (1, 2, 0))
+    return img.with_data(out)
+
+
+def warp_affine_rot(
+    src,
+    scale: float,
+    rot: float,
+    dsize: VSize | tuple,
+    aux_param: VScalar = VScalar(),
+    flags: InterMode | int = InterMode.INTER_LINEAR,
+    border_mode: BorderMode | int = BorderMode.BORDER_CONSTANT,
+    border_value: VScalar | float = 0.0,
+) -> Image:
+    """Scale/rotation form with aux-param recentring (parity:
+    ``va_cv::warp_affine`` overload, warp_affine.cpp:96-109: the
+    translation column is overwritten so that source point
+    ``(aux.v0, aux.v1)`` lands on destination ``(aux.v2, aux.v3)``)."""
+    m = get_rotation_matrix_2d(VPoint(0, 0), rot, scale)
+    m[0, 2] = aux_param.v2 - m[0, 0] * aux_param.v0 - m[0, 1] * aux_param.v1
+    m[1, 2] = aux_param.v3 - m[1, 0] * aux_param.v0 - m[1, 1] * aux_param.v1
+    return warp_affine(src, m, dsize, flags, border_mode, border_value)
