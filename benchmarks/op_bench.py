@@ -4,22 +4,31 @@
 [opencv_ms, vacv_tpu_ms, cosine, expected] per op/config across the
 reference's size ladder.
 
-Run:  python -m benchmarks.op_bench  (add sizes with --sizes)
+Device timings use the loop-slope method (`utils.perf.device_time`);
+every step function takes an ``i``-dependent slice offset so XLA cannot
+hoist the op out of the timing loop.  Each op×size costs one jit
+compile (~25-40 s on remote-tunneled TPUs), so the default ladder is
+two sizes; pass ``--ladder`` for the reference's full 176x144→2560x1440
+set.
+
+Run:  python -m benchmarks.op_bench [--ladder]
 """
 from __future__ import annotations
 
 import argparse
+import time
 
 import numpy as np
 
 import vacv_tpu as vc
 from vacv_tpu.profile import CvProfile, TestFuncInfo
 from vacv_tpu.utils.compare import cosine_similarity
-from vacv_tpu.utils.perf import time_fn
 from vacv_tpu.utils.io import bgr2nv21_numpy
+from vacv_tpu.utils.perf import device_time
 
 # The reference's size ladder (test assets 176x144 .. 2560x1440).
-SIZES = [(144, 176), (360, 640), (720, 1280), (1080, 1920), (1440, 2560)]
+LADDER = [(144, 176), (360, 640), (720, 1280), (1080, 1920), (1440, 2560)]
+DEFAULT = [(360, 640), (1080, 1920)]
 
 
 def _img(h, w, seed=0):
@@ -30,131 +39,163 @@ def _img(h, w, seed=0):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def _timed_pair(cv_fn, our_fn, ref_out_fn=None, iters=10):
-    """Build a TestFunc: returns [cv_ms, ours_ms, cosine, 1.0]."""
-    import time
+def _pair(cv_fn, step_fn, dev_args, ref_for_cosine=None, iters=16):
+    """TestFunc returning [cv_ms, ours_ms, cosine, 1.0].
+
+    ``step_fn(i, *dev_args)`` is both the timed body and (at i=0) the
+    output compared against ``cv_fn()``'s result.
+    """
+    import jax
 
     def run():
         t0 = time.perf_counter()
         ref = cv_fn()
         cv_ms = (time.perf_counter() - t0) * 1e3
-        _, ours_ms, out = time_fn(our_fn, iters=3, warmup=1)
-        ref_cmp = ref if ref_out_fn is None else ref_out_fn(ref)
-        cos = cosine_similarity(np.asarray(out), ref_cmp)
-        return [cv_ms, ours_ms, cos, 1.0]
+        sec = device_time(step_fn, *dev_args, iters=iters, base_iters=2)
+        out = np.asarray(jax.jit(step_fn)(0, *dev_args))
+        cmp_ref = ref if ref_for_cosine is None else ref_for_cosine
+        cos = cosine_similarity(out, cmp_ref)
+        return [cv_ms, sec * 1e3, cos, 1.0]
 
     return run
 
 
 def build_tests(sizes):
     import cv2
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from vacv_tpu.core.types import Layout
+    from vacv_tpu.ops.normalize import normalize_jnp
+    from vacv_tpu.ops.resize import resize
 
     cv2.setNumThreads(1)
     tests = []
     for h, w in sizes:
         src = _img(h, w)
-        srcj = None
-
-        import jax
-        import jax.numpy as jnp
-
         srcj = jax.device_put(jnp.asarray(src))
-        name_sz = f"{w}x{h}"
-
-        # crop
-        rect = (w // 8, h // 8, w // 8 + w // 2, h // 8 + h // 2)
-        crop_fn = jax.jit(
-            lambda x, r=rect: vc.crop(vc.as_image(x), vc.VRect(*r)).data
-        )
-        tests.append(TestFuncInfo(
-            f"crop_{name_sz}",
-            _timed_pair(
-                lambda s=src, r=rect: s[r[1]:r[3], r[0]:r[2]].copy(),
-                lambda s=srcj, f=crop_fn: f(s),
-            ),
-        ))
-
-        # resize bilinear u8 -> 224
-        rs_fn = jax.jit(lambda x: vc.resize(vc.as_image(x), (224, 224)).data)
-        tests.append(TestFuncInfo(
-            f"resize_linear_u8_{name_sz}",
-            _timed_pair(
-                lambda s=src: cv2.resize(s, (224, 224)),
-                lambda s=srcj, f=rs_fn: f(s),
-            ),
-        ))
-
-        # resize bicubic f32
         srcf = src.astype(np.float32)
         srcfj = jax.device_put(jnp.asarray(srcf))
-        rc_fn = jax.jit(
-            lambda x: vc.resize(vc.as_image(x), (224, 224),
-                                interpolation=vc.INTER_CUBIC).data
-        )
+        name = f"{w}x{h}"
+
+        # every step slices an i-dependent (h-2)-row window to defeat
+        # loop-invariant code motion in the timing loop
+        def window(b, i, hh=h, ww=w):
+            return lax.dynamic_slice(b, (i % 2, 0, 0), (hh - 2, ww, 3))
+
+        # ---- crop (half-frame ROI) ----
+        rect = (w // 8, h // 8, w // 2, h // 2)
+
+        def crop_step(i, b, r=rect, hh=h):
+            win = window(b, i)
+            return lax.dynamic_slice(win, (r[1], r[0], 0), (r[3], r[2], 3))
+
         tests.append(TestFuncInfo(
-            f"resize_cubic_f32_{name_sz}",
-            _timed_pair(
-                lambda s=srcf: cv2.resize(s, (224, 224),
-                                          interpolation=cv2.INTER_CUBIC),
-                lambda s=srcfj, f=rc_fn: f(s),
+            f"crop_{name}",
+            _pair(
+                lambda s=src, r=rect: s[r[1]:r[1]+r[3], r[0]:r[0]+r[2]].copy(),
+                crop_step, (srcj,),
             ),
         ))
 
-        # yuv2bgr
-        if h % 2 == 0 and w % 2 == 0:
-            nv = bgr2nv21_numpy(src).reshape(h * 3 // 2, w)
-            nvj = jax.device_put(jnp.asarray(nv))
-            cc_fn = jax.jit(
-                lambda x: vc.cvt_color(vc.as_image(x),
-                                       vc.COLOR_YUV2BGR_NV21).data
-            )
-            tests.append(TestFuncInfo(
-                f"yuv2bgr_{name_sz}",
-                _timed_pair(
-                    lambda n=nv, hh=h, ww=w: cv2.cvtColor(
-                        n.reshape(hh * 3 // 2, ww), cv2.COLOR_YUV2BGR_NV21
-                    ),
-                    lambda n=nvj, f=cc_fn: f(n),
-                    # compare both against the original (chroma math
-                    # coefficients differ slightly between ref and cv2)
-                    ref_out_fn=lambda r: r,
-                ),
-            ))
-
-        # normalize (self-stats)
-        nm_fn = jax.jit(lambda x: vc.normalize(vc.as_image(x)).data)
-
-        def cv_norm(s=srcf):
-            m, sd = cv2.meanStdDev(s)
-            return (s - m.ravel().astype(np.float32)) / (
-                sd.ravel().astype(np.float32) + 1e-6
-            )
+        # ---- resize bilinear u8 -> 224 ----
+        def rs_step(i, b):
+            win = window(b, i)
+            return resize(vc.Image(win, Layout.HWC), (224, 224)).data
 
         tests.append(TestFuncInfo(
-            f"normalize_{name_sz}",
-            _timed_pair(cv_norm, lambda s=srcfj, f=nm_fn: f(s)),
+            f"resize_linear_u8_{name}",
+            _pair(
+                lambda s=src, hh=h, ww=w: cv2.resize(s[:hh-2], (224, 224)),
+                rs_step, (srcj,),
+            ),
         ))
 
-        # warp_affine
-        m = np.array([[0.85, 0.05, w * 0.05], [-0.05, 0.85, h * 0.05]],
-                     np.float32)
-        wa_fn = jax.jit(
-            lambda x: vc.warp_affine(vc.as_image(x), m, (w // 2, h // 2)).data
-        )
+        # ---- resize bicubic f32 ----
+        def rc_step(i, b):
+            win = window(b, i)
+            return resize(vc.Image(win, Layout.HWC), (224, 224),
+                          interpolation=vc.INTER_CUBIC).data
+
         tests.append(TestFuncInfo(
-            f"warp_affine_{name_sz}",
-            _timed_pair(
-                lambda s=src: cv2.warpAffine(s, m.astype(np.float64),
-                                             (w // 2, h // 2)),
-                lambda s=srcj, f=wa_fn: f(s),
+            f"resize_cubic_f32_{name}",
+            _pair(
+                lambda s=srcf, hh=h: cv2.resize(
+                    s[:hh-2], (224, 224), interpolation=cv2.INTER_CUBIC),
+                rc_step, (srcfj,),
+            ),
+        ))
+
+        # ---- yuv2bgr ----
+        nv = bgr2nv21_numpy(src)
+        y_j = jax.device_put(jnp.asarray(nv[: h * w].reshape(h, w)))
+        vu_j = jax.device_put(jnp.asarray(nv[h * w:].reshape(h // 2, w)))
+
+        def cc_step(i, yy, vv, hh=h, ww=w):
+            from vacv_tpu.ops.cvt_color import nv_to_bgr_planes_jnp
+
+            ys = lax.dynamic_slice(yy, (2 * (i % 2), 0), (hh - 2, ww))
+            vs = lax.dynamic_slice(vv, (i % 2, 0), (hh // 2 - 1, ww))
+            b, g, r = nv_to_bgr_planes_jnp(ys, vs, is_nv12=False)
+            return jnp.stack([b, g, r], axis=-1)
+
+        def cv_cc(n=nv, hh=h, ww=w):
+            # cv2's NV21 coefficients differ from the reference's; used
+            # for timing — cosine is vs our own spec output at i=0
+            return cv2.cvtColor(n.reshape(hh * 3 // 2, ww),
+                                cv2.COLOR_YUV2BGR_NV21)
+
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+        from oracle import nv_to_bgr as oracle_nv
+
+        spec = oracle_nv(nv[: h * w].reshape(h, w)[: h - 2],
+                         nv[h * w:].reshape(h // 2, w)[: h // 2 - 1],
+                         is_nv12=False)
+        tests.append(TestFuncInfo(
+            f"yuv2bgr_{name}",
+            _pair(cv_cc, cc_step, (y_j, vu_j), ref_for_cosine=spec),
+        ))
+
+        # ---- normalize (self-stats) ----
+        def nm_step(i, b):
+            win = lax.dynamic_slice(b, (i % 2, 0, 0), (b.shape[0]-2, b.shape[1], 3))
+            return normalize_jnp(vc.Image(win, Layout.HWC)).data
+
+        def cv_norm(s=srcf, hh=h):
+            ss = s[:hh-2]
+            m, sd = cv2.meanStdDev(ss)
+            return (ss - m.ravel().astype(np.float32)) / (
+                sd.ravel().astype(np.float32) + 1e-6)
+
+        tests.append(TestFuncInfo(
+            f"normalize_{name}", _pair(cv_norm, nm_step, (srcfj,)),
+        ))
+
+        # ---- warp_affine ----
+        m = np.array([[0.85, 0.05, w * 0.02], [-0.05, 0.85, h * 0.02]],
+                     np.float32)
+
+        def wa_step(i, b, mm=m, hh=h, ww=w):
+            win = window(b, i)
+            return vc.warp_affine(
+                vc.Image(win, Layout.HWC), mm, (ww // 2, hh // 2)).data
+
+        tests.append(TestFuncInfo(
+            f"warp_affine_{name}",
+            _pair(
+                lambda s=src, mm=m, hh=h, ww=w: cv2.warpAffine(
+                    s[:hh-2], mm.astype(np.float64), (ww // 2, hh // 2)),
+                wa_step, (srcj,),
             ),
         ))
     return tests
 
 
 def run_op_table(sizes=None):
-    tests = build_tests(sizes or SIZES)
-    prof = CvProfile(k_test_times=3, k_log_batch_size=10)
+    tests = build_tests(sizes or DEFAULT)
+    prof = CvProfile(k_test_times=1, k_log_batch_size=10)
     prof.profile(tests, verbose=False)
     ok = prof.print_results()
     prof.save_results("bench_ops.json")
@@ -163,6 +204,7 @@ def run_op_table(sizes=None):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--ladder", action="store_true",
+                    help="full 176x144..2560x1440 ladder")
     args = ap.parse_args()
-    run_op_table(SIZES[:2] if args.small else None)
+    run_op_table(LADDER if args.ladder else DEFAULT)

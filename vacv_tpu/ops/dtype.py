@@ -34,8 +34,19 @@ def _to_u8(data):
     return jnp.clip(as_int, 0, 255).astype(jnp.uint8)
 
 
+_FLOATS = (jnp.float32, jnp.float16, jnp.bfloat16)
+
+
 def change_dtype(src, dtype) -> Image:
-    """Convert ``src`` to ``dtype`` (uint8 or float32).
+    """Convert ``src`` to ``dtype``.
+
+    Supported: uint8 ↔ {float32, float16, bfloat16} and conversions
+    among the float types.  The reference implements only u8↔fp32
+    (tensor.cpp:459-502) but declares FP16 on its Tensor (tensor.h:14)
+    and carries an fp16 resize in its graveyard
+    (src_deprecated/paddle-resize/cubic_resize_float16.cpp) — half
+    precision is first-class here since bf16 is the TPU's native narrow
+    float.  float→u8 always truncates toward zero and saturates.
 
     Accepts an ``Image`` or raw array (assumed HWC).
     """
@@ -43,12 +54,13 @@ def change_dtype(src, dtype) -> Image:
     dtype = jnp.dtype(dtype)
     if img.data.dtype == dtype:
         return img
-    if dtype == jnp.float32:
-        out = _to_f32(img.data)
+    if dtype in (jnp.dtype(t) for t in _FLOATS):
+        out = img.data.astype(dtype)
     elif dtype == jnp.uint8:
-        out = _to_u8(img.data)
+        out = _to_u8(img.data.astype(jnp.float32))
     else:
         raise NotImplementedError(
-            f"change_dtype supports uint8<->float32 only, got {dtype}"
+            "change_dtype supports uint8 <-> {float32,float16,bfloat16}, "
+            f"got {dtype}"
         )
     return img.with_data(out)

@@ -279,6 +279,11 @@ def resize(
         # (arithmetic >> 22 on non-negative data == floor).  A half-ULP
         # epsilon absorbs f32 rounding of exactly-representable sums.
         out = jnp.clip(jnp.floor(out + 1e-4), 0, 255).astype(jnp.uint8)
+    elif data.dtype != jnp.float32:
+        # half-precision inputs (f16/bf16): accumulate in f32 on the
+        # MXU, narrow on write-out (the fp16 graveyard resize's design,
+        # done the TPU way)
+        out = out.astype(data.dtype)
 
     if squeeze:
         out = out[0]

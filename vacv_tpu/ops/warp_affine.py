@@ -198,6 +198,8 @@ def warp_affine(
     if is_u8:
         # Q22 truncation parity (warp_affine_naive.cpp:50-54).
         out = jnp.clip(jnp.floor(out + 1e-4), 0, 255).astype(jnp.uint8)
+    elif data.dtype != jnp.float32:
+        out = out.astype(data.dtype)  # f16/bf16 passthrough
 
     if squeeze:
         out = out[0]
