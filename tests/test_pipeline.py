@@ -73,3 +73,25 @@ def test_profile_runner_smoke(bgr_176x144, capsys):
         prof.save_results(p)
         data = json.load(open(p))
         assert data[0]["name"] == "smoke" and data[0]["passed"]
+
+
+def test_config5_warp_pipeline(bgr_640x360):
+    # warp_affine + full pipeline (BASELINE config 5)
+    m = ((0.9, 0.05, 10.0), (-0.05, 0.9, 8.0))
+    cfg = PreprocessConfig(
+        warp=(m, (320, 240)),
+        out_size=(128, 128),
+        out_layout=vc.CHW,
+        normalize=True,
+    )
+    out = np.asarray(Preprocessor(cfg)(bgr_640x360))
+    assert out.shape == (3, 128, 128)
+
+    warped = cv2.warpAffine(bgr_640x360, np.asarray(m, np.float64), (320, 240))
+    resized = cv2.resize(warped, (128, 128)).astype(np.float32)
+    mm, ss = cv2.meanStdDev(resized)
+    ref = (resized - mm.ravel().astype(np.float32)) / (
+        ss.ravel().astype(np.float32) + 1e-6
+    )
+    ref = np.transpose(ref, (2, 0, 1))
+    assert abs(cosine_similarity(out, ref) - 1) < 2e-4

@@ -39,6 +39,10 @@ class PreprocessConfig:
     color_code: ColorCode | None = None
     # Optional crop ROI in source coordinates.
     crop_rect: VRect | None = None
+    # Optional affine warp: (2x3 forward matrix as a nested tuple,
+    # (w, h) output size).  Applied after crop, before resize — the
+    # BASELINE config-5 "warp_affine + full pipeline" stage.
+    warp: tuple[tuple, tuple[int, int]] | None = None
     # Output spatial size (w, h); None keeps input size.
     out_size: tuple[int, int] | None = None
     interpolation: InterMode = InterMode.INTER_LINEAR
@@ -69,6 +73,11 @@ class Preprocessor:
                 img = cvt_color(img, cfg.color_code)
             if cfg.crop_rect is not None:
                 img = crop(img, cfg.crop_rect)
+            if cfg.warp is not None:
+                from ..ops.warp_affine import warp_affine
+
+                m, dsize = cfg.warp
+                img = warp_affine(img, [list(r) for r in m], tuple(dsize))
             if cfg.out_size is not None:
                 w, h = cfg.out_size
                 img = resize(img, (w, h), interpolation=cfg.interpolation)

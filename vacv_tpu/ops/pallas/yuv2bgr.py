@@ -4,14 +4,22 @@ TPU redesign of ``CvtColor::nv_to_bgr_neon`` (reference
 ``/root/reference/src/cv/cvt_color.cpp:184-494``).  The NEON version
 burns most of its 300 lines on register-level deinterleave and a
 3-stage ``vtrn`` transpose network to repack interleaved BGR pixels.
-On TPU we keep everything planar, so the kernel reduces to its actual
-math: Q7 integer YUV→BGR at quarter resolution, a 2×2 broadcast
-upsample, and three saturating adds against the Y plane — all on the
-8×128 VPU, one grid step per row-tile.
+On TPU we keep channels planar, and the 2×2 chroma upsample maps onto
+the vector unit without any reshape:
 
-The chroma plane arrives pre-deinterleaved (V and U as (H/2, W/2)
-planes — the strided deinterleave is done by XLA outside the kernel,
-where it fuses with the NV buffer slicing).
+* **lanes** (width): the interleaved VU row [V0 U0 V1 U1 …] is spread
+  to per-pixel V/U with a lane roll + parity select — V_full =
+  select(even_lane, vu, roll(vu, 1)), U_full = select(even_lane,
+  roll(vu, -1), vu).  This replaces the NEON ``vld2``/``vtrn`` dance
+  and, unlike a broadcast-reshape, is a layout-preserving op Mosaic
+  lowers natively (its reshape inference rejects lane interleaves).
+* **sublanes** (height): the luma block arrives pre-viewed as
+  ``(t, 2, w)`` — a free row-major view of ``(2t, w)`` done by XLA
+  outside the kernel — so the two luma rows sharing a chroma row are
+  indexed statically instead of with strided sublane access.
+
+Q7 integer math per ``nv_to_bgr_naive`` (cvt_color.cpp:76-94); the
+arithmetic ``>> 7`` on negative intermediates matches C's signed shift.
 """
 from __future__ import annotations
 
@@ -25,62 +33,61 @@ from jax.experimental.pallas import tpu as pltpu
 from ... import config
 
 
-def _upsample2_in_kernel(x):
-    """(t, w2) -> (2t, 2*w2) 2×2 nearest upsample."""
-    t, w2 = x.shape
-    x = jnp.broadcast_to(x[:, None, :, None], (t, 2, w2, 2))
-    return x.reshape(2 * t, 2 * w2)
+def _kernel(y_ref, vu_ref, b_ref, g_ref, r_ref, *, is_nv12: bool):
+    vu = vu_ref[:].astype(jnp.int32)  # (t, w) interleaved pairs
+    t, w = vu.shape
 
+    even = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1) % 2 == 0
+    first = vu                       # value at the pair's even lane
+    second = pltpu.roll(vu, 1, 1)    # even lane's value seen from odd lane
+    # roll takes non-negative shifts only: left-by-1 == right-by-(w-1)
+    prev = pltpu.roll(vu, w - 1, 1)  # odd lane's value seen from even lane
+    a_full = jnp.where(even, first, second)   # pair's lane-0 byte, spread
+    b_full = jnp.where(even, prev, first)     # pair's lane-1 byte, spread
+    if is_nv12:
+        u, v = a_full - 128, b_full - 128
+    else:
+        v, u = a_full - 128, b_full - 128
 
-def _kernel(y_ref, v_ref, u_ref, b_ref, g_ref, r_ref):
-    v = v_ref[:].astype(jnp.int32) - 128
-    u = u_ref[:].astype(jnp.int32) - 128
-
-    # Q7 coefficients (cvt_color.cpp:76-78); arithmetic shift == C's
-    # signed >> on the negative intermediates.
+    # Q7 coefficients (cvt_color.cpp:76-78)
     ra = (179 * v) >> 7
     ga = (44 * u + 91 * v) >> 7
     ba = (227 * u) >> 7
 
-    ra = _upsample2_in_kernel(ra)
-    ga = _upsample2_in_kernel(ga)
-    ba = _upsample2_in_kernel(ba)
-
-    y = y_ref[:].astype(jnp.int32)
-    b_ref[:] = jnp.clip(y + ba, 0, 255).astype(jnp.uint8)
-    g_ref[:] = jnp.clip(y - ga, 0, 255).astype(jnp.uint8)
-    r_ref[:] = jnp.clip(y + ra, 0, 255).astype(jnp.uint8)
+    for p in (0, 1):  # the two luma rows sharing this chroma row
+        y = y_ref[:, p, :].astype(jnp.int32)
+        b_ref[:, p, :] = jnp.clip(y + ba, 0, 255).astype(jnp.uint8)
+        g_ref[:, p, :] = jnp.clip(y - ga, 0, 255).astype(jnp.uint8)
+        r_ref[:, p, :] = jnp.clip(y + ra, 0, 255).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _call(y_plane, v_s, u_s, *, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("is_nv12", "interpret"))
+def _call(y_plane, vu_plane, *, is_nv12: bool, interpret: bool):
     h, w = y_plane.shape
-    h2, w2 = v_s.shape
-    # Row-tile the chroma grid; 64 chroma rows -> 128 luma rows/step.
-    t = min(64, h2)
+    h2 = h // 2
+    y3 = y_plane.reshape(h2, 2, w)  # free row-major view
+    t = min(128, h2)
     grid = (pl.cdiv(h2, t),)
-    out_shape = jax.ShapeDtypeStruct((h, w), jnp.uint8)
+    out_shape = jax.ShapeDtypeStruct((h2, 2, w), jnp.uint8)
+    kernel = functools.partial(_kernel, is_nv12=is_nv12)
     b, g, r = pl.pallas_call(
-        _kernel,
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((2 * t, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, w2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, w2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 2, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((2 * t, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((t, 2, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ] * 3,
         out_shape=[out_shape] * 3,
         interpret=interpret,
-    )(y_plane, v_s, u_s)
-    return b, g, r
+    )(y3, vu_plane)
+    return b.reshape(h, w), g.reshape(h, w), r.reshape(h, w)
 
 
 def nv_to_bgr_pallas(y_plane, vu_plane, *, is_nv12: bool):
     """(b, g, r) u8 planes from Y (h,w) + interleaved VU (h/2, w)."""
-    if is_nv12:
-        u_s, v_s = vu_plane[:, 0::2], vu_plane[:, 1::2]
-    else:
-        v_s, u_s = vu_plane[:, 0::2], vu_plane[:, 1::2]
-    return _call(y_plane, v_s, u_s, interpret=config.pallas_interpret())
+    return _call(
+        y_plane, vu_plane, is_nv12=is_nv12, interpret=config.pallas_interpret()
+    )
