@@ -16,12 +16,86 @@
 #include <cstdint>
 #include <cstddef>
 #include <cmath>
+#include <cstdio>
+#include <csetjmp>
 
 #if defined(_OPENMP)
 #include <omp.h>
 #endif
 
+#if defined(VACV_WITH_JPEG)
+#include <jpeglib.h>
+#endif
+
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// JPEG decode — the data-loader role (the reference harness feeds itself
+// with cv::imread, src/test/src/impl/test_crop.cpp:46).  Two-phase API:
+// dims query, then decode into a caller-owned HWC buffer (BGR order for
+// cv2 compatibility when bgr != 0).  Returns 0 on success.
+#if defined(VACV_WITH_JPEG)
+namespace {
+struct JerrMgr {
+    jpeg_error_mgr pub;
+    jmp_buf jb;
+};
+void jerr_exit(j_common_ptr cinfo) {
+    JerrMgr* m = reinterpret_cast<JerrMgr*>(cinfo->err);
+    longjmp(m->jb, 1);
+}
+}  // namespace
+
+int vacv_jpeg_dims(const uint8_t* buf, size_t len, int* w, int* h, int* c) {
+    jpeg_decompress_struct cinfo;
+    JerrMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jerr_exit;
+    if (setjmp(jerr.jb)) { jpeg_destroy_decompress(&cinfo); return -1; }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), (unsigned long)len);
+    jpeg_read_header(&cinfo, TRUE);
+    *w = (int)cinfo.image_width;
+    *h = (int)cinfo.image_height;
+    *c = 3;
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+int vacv_decode_jpeg(const uint8_t* buf, size_t len, uint8_t* out, int bgr) {
+    jpeg_decompress_struct cinfo;
+    JerrMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jerr_exit;
+    if (setjmp(jerr.jb)) { jpeg_destroy_decompress(&cinfo); return -1; }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), (unsigned long)len);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+    const int w = cinfo.output_width;
+    while (cinfo.output_scanline < cinfo.output_height) {
+        uint8_t* row = out + (size_t)cinfo.output_scanline * w * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+        if (bgr) {  // swap R<->B in place for cv2-compatible ordering
+            for (int x = 0; x < w; x++) {
+                uint8_t t = row[x * 3];
+                row[x * 3] = row[x * 3 + 2];
+                row[x * 3 + 2] = t;
+            }
+        }
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+int vacv_has_jpeg(void) { return 1; }
+#else
+int vacv_jpeg_dims(const uint8_t*, size_t, int*, int*, int*) { return -2; }
+int vacv_decode_jpeg(const uint8_t*, size_t, uint8_t*, int) { return -2; }
+int vacv_has_jpeg(void) { return 0; }
+#endif
 
 // ---------------------------------------------------------------------------
 // BGR -> NV21 synthesis.  Bit-exact with ImageUtil::bgr2nv21: Q14 integer

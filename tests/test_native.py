@@ -46,3 +46,34 @@ def test_cosine_matches_numpy(bgr_176x144, rng):
     af = a.astype(np.float32)
     bf = b.astype(np.float32)
     assert abs(native.cosine(af, bf) - cosine_similarity(af, bf)) < 1e-9
+
+
+def test_jpeg_decode_matches_cv2(bgr_176x144):
+    import cv2
+
+    if not native.has_jpeg():
+        pytest.skip("libjpeg not available")
+    ok, enc = cv2.imencode(".jpg", bgr_176x144, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    assert ok
+    dec = native.decode_jpeg(enc.tobytes())
+    ref = cv2.imdecode(enc, 1)
+    np.testing.assert_array_equal(dec, ref)
+    with pytest.raises(ValueError):
+        native.decode_jpeg(b"not a jpeg")
+
+
+def test_batch_loader(tmp_path, bgr_176x144):
+    import cv2
+
+    from vacv_tpu.utils.loader import BatchLoader
+
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"{i}.png")
+        cv2.imwrite(p, bgr_176x144)
+        paths.append(p)
+    batches = list(BatchLoader(paths, 2, drop_remainder=True))
+    assert len(batches) == 2 and batches[0].shape == (2, 144, 176, 3)
+    all_b = list(BatchLoader(paths, 2, drop_remainder=False))
+    assert len(all_b) == 3 and all_b[-1].shape[0] == 1
+    np.testing.assert_array_equal(batches[0][0], bgr_176x144)

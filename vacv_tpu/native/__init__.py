@@ -66,6 +66,17 @@ def _load():
             lib.vacv_cosine_u8.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
             ]
+            lib.vacv_has_jpeg.restype = ctypes.c_int
+            lib.vacv_jpeg_dims.restype = ctypes.c_int
+            lib.vacv_jpeg_dims.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.vacv_decode_jpeg.restype = ctypes.c_int
+            lib.vacv_decode_jpeg.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int,
+            ]
             _lib = lib
         except Exception:
             _build_failed = True
@@ -128,6 +139,43 @@ def nv_to_bgr(y: np.ndarray, vu: np.ndarray, is_nv12: bool = False) -> np.ndarra
         out.ctypes.data_as(ctypes.c_void_p), w, h, int(is_nv12),
     )
     return out
+
+
+def has_jpeg() -> bool:
+    lib = _load()
+    return lib is not None and bool(lib.vacv_has_jpeg())
+
+
+def decode_jpeg(data: bytes, bgr: bool = True) -> np.ndarray:
+    """Decode a JPEG byte buffer to HWC u8 (BGR by default, like
+    cv::imread).  Raises on toolchain/libjpeg absence — callers fall
+    back to cv2/PIL via ``utils.io.imread``."""
+    lib = _load()
+    if lib is None or not lib.vacv_has_jpeg():
+        raise RuntimeError("native jpeg decode unavailable")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.vacv_jpeg_dims(
+        buf.ctypes.data_as(ctypes.c_void_p), buf.size,
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(c),
+    )
+    if rc != 0:
+        raise ValueError("invalid JPEG data")
+    out = np.empty((h.value, w.value, 3), dtype=np.uint8)
+    rc = lib.vacv_decode_jpeg(
+        buf.ctypes.data_as(ctypes.c_void_p), buf.size,
+        out.ctypes.data_as(ctypes.c_void_p), int(bgr),
+    )
+    if rc != 0:
+        raise ValueError("JPEG decode failed")
+    return out
+
+
+def imread_jpeg(path: str, bgr: bool = True) -> np.ndarray:
+    with open(path, "rb") as f:
+        return decode_jpeg(f.read(), bgr)
 
 
 def cosine(a: np.ndarray, b: np.ndarray) -> float:
