@@ -54,3 +54,13 @@ def test_min_max_idx_mask():
     mask = np.array([[1, 1], [0, 0]], np.uint8)
     mn, mx, mi, ma = vc.min_max_idx(x, mask)
     assert float(mn) == 1.0 and float(mx) == 3.0
+
+
+def test_min_max_loc(bgr_176x144):
+    src = bgr_176x144.astype(np.float32)
+    templ = src[30:62, 20:52]
+    out = vc.match_template(src, templ, vc.TM_CCOEFF_NORMED)
+    _, mx, _, max_pt = vc.min_max_loc(out)
+    assert tuple(int(v) for v in max_pt) == (20, 30)
+    ref_min, ref_max, ref_minl, ref_maxl = cv2.minMaxLoc(np.asarray(out.data))
+    assert tuple(int(v) for v in max_pt) == tuple(ref_maxl)

@@ -37,7 +37,7 @@ from .ops.fused import (
 )
 from .ops.imencode import imencode
 from .ops.layout import change_layout
-from .ops.match_template import match_template, min_max_idx
+from .ops.match_template import match_template, min_max_idx, min_max_loc
 from .ops.normalize import mean_stddev, normalize
 from .ops.resize import resize
 from .ops.warp_affine import (
@@ -79,5 +79,5 @@ __all__ = [
     "resize", "mean_stddev", "normalize", "warp_affine", "warp_affine_rot",
     "get_rotation_matrix_2d", "invert_affine",
     "resize_normalize", "warp_affine_normalize", "warp_affine_normalize_rot",
-    "match_template", "min_max_idx", "imencode",
+    "match_template", "min_max_idx", "min_max_loc", "imencode",
 ]

@@ -127,3 +127,17 @@ def min_max_idx(src, mask=None):
     min_idx = jnp.argmin(flat_min)
     max_idx = jnp.argmax(flat_max)
     return flat[min_idx], flat[max_idx], min_idx, max_idx
+
+
+def min_max_loc(src, mask=None):
+    """``cv::minMaxLoc``-style variant: returns
+    ``(min_val, max_val, (min_x, min_y), (max_x, max_y))`` for a 2-D
+    response map (the form template-matching callers want)."""
+    img = as_image(src)
+    h, w = img.data.shape[:2]
+    mn, mx, mi, ma = min_max_idx(img, mask)
+    return (
+        mn, mx,
+        (mi % w, mi // w),
+        (ma % w, ma // w),
+    )

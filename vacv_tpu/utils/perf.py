@@ -14,6 +14,23 @@ from contextlib import contextmanager
 import jax
 
 
+@contextmanager
+def profiler_trace(logdir: str):
+    """XLA/TPU profiler trace scope (SURVEY §5.1: the rebuild's
+    deep-tracing mechanism, succeeding the reference's ``cudaEvent``
+    instrumentation).  View with TensorBoard or xprof:
+
+        with profiler_trace("/tmp/vacv-trace"):
+            out = pipeline(batch)
+            jax.block_until_ready(out)
+    """
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
 class Timer:
     """Accumulating wall-clock timer (milliseconds)."""
 
