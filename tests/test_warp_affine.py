@@ -92,3 +92,29 @@ def test_f32_matches_opencv_tight(bgr_640x360):
     out = vc.warp_affine(src, m, (300, 250)).numpy()
     interior = np.abs(out - ref)[5:-5, 5:-5]
     assert interior.max() < 0.05
+
+
+def test_border_replicate_vs_opencv(bgr_640x360):
+    # The reference falls back to OpenCV for BORDER_REPLICATE
+    # (warp_affine.cpp:114-119); we support it natively.
+    m = np.array([[0.7, 0.1, -40.0], [-0.1, 0.7, -30.0]], np.float32)
+    src = bgr_640x360.astype(np.float32)
+    ref = cv2.warpAffine(
+        src, m.astype(np.float64), (256, 200), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_REPLICATE,
+    )
+    out = vc.warp_affine(
+        src, m, (256, 200), border_mode=vc.BORDER_REPLICATE
+    ).numpy()
+    assert abs(cosine_similarity(out, ref) - 1) < 1e-5
+
+
+def test_border_value_nonzero(bgr_640x360):
+    m = np.array([[1.0, 0.0, -600.0], [0.0, 1.0, -340.0]], np.float32)
+    out = vc.warp_affine(bgr_640x360, m, (100, 80), border_value=17.0).numpy()
+    # entire output is out of source bounds -> all border value
+    ref = cv2.warpAffine(
+        bgr_640x360, m.astype(np.float64), (100, 80),
+        borderValue=(17.0, 17.0, 17.0),
+    )
+    np.testing.assert_array_equal(out, ref)

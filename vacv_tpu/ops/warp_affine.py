@@ -78,7 +78,7 @@ def _quantize_q11(w):
 
 
 def _warp_planes(planes, minv: np.ndarray, h_out: int, w_out: int, *, u8: bool,
-                 border_value: float, edge_mode: str):
+                 border_value: float, edge_mode: str, replicate: bool = False):
     """Warp (..., h_in, w_in) f32 planes with inverse matrix ``minv``.
 
     ``edge_mode``:
@@ -124,12 +124,16 @@ def _warp_planes(planes, minv: np.ndarray, h_out: int, w_out: int, *, u8: bool,
     bv = jnp.float32(border_value)
 
     def tap(tx, ty):
-        ok = (tx >= 0) & (tx <= w_in - 1) & (ty >= 0) & (ty <= h_in - 1)
         idx = (
             jnp.clip(ty, 0, h_in - 1) * w_in + jnp.clip(tx, 0, w_in - 1)
         ).reshape(-1)
         vals = jnp.take(flat, idx, axis=-1)
         vals = vals.reshape(planes.shape[:-2] + (h_out, w_out))
+        if replicate:
+            # BORDER_REPLICATE: clamped tap coordinates ARE the border
+            # handling (cv::BORDER_REPLICATE bilinear semantics).
+            return vals
+        ok = (tx >= 0) & (tx <= w_in - 1) & (ty >= 0) & (ty <= h_in - 1)
         return jnp.where(ok, vals, bv)
 
     p00 = tap(sx, sy)
@@ -173,8 +177,12 @@ def warp_affine(
     interp = InterMode(flags & ~int(InterMode.WARP_INVERSE_MAP))
     if interp != InterMode.INTER_LINEAR:
         raise NotImplementedError("warp_affine supports INTER_LINEAR only")
-    if BorderMode(border_mode) != BorderMode.BORDER_CONSTANT:
-        raise NotImplementedError("warp_affine supports BORDER_CONSTANT only")
+    border_mode = BorderMode(border_mode)
+    if border_mode not in (BorderMode.BORDER_CONSTANT, BorderMode.BORDER_REPLICATE):
+        raise NotImplementedError(
+            "warp_affine supports BORDER_CONSTANT and BORDER_REPLICATE"
+        )
+    replicate = border_mode == BorderMode.BORDER_REPLICATE
     bv = border_value.v0 if isinstance(border_value, VScalar) else float(border_value)
 
     minv = np.asarray(M, dtype=np.float32).reshape(2, 3)
@@ -193,7 +201,7 @@ def warp_affine(
 
     out = _warp_planes(
         planes.astype(jnp.float32), minv, dsize.h, dsize.w, u8=is_u8,
-        border_value=bv, edge_mode=edge_mode,
+        border_value=bv, edge_mode=edge_mode, replicate=replicate,
     )
     if is_u8:
         # Q22 truncation parity (warp_affine_naive.cpp:50-54).
