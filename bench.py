@@ -38,7 +38,7 @@ def make_batch(n=BATCH):
     return rng.integers(0, 256, size=(n, H, W, 3), dtype=np.uint8)
 
 
-def bench_tpu(batch):
+def bench_tpu():
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +61,16 @@ def bench_tpu(batch):
         left = CROP_LEFT + (i % 2)
         return jax.vmap(lambda x: per_image(x, left))(b)
 
-    dev_batch = jax.device_put(jnp.asarray(batch))
+    # Generate the batch on-device: the benchmark measures preprocessing
+    # throughput on HBM-resident frames, and on remote-tunneled TPUs a
+    # 190 MB host transfer would crawl through the relay link.
+    @jax.jit
+    def gen():
+        return jax.random.randint(
+            jax.random.PRNGKey(0), (BATCH, H, W, 3), 0, 256, jnp.uint8
+        )
+
+    dev_batch = jax.block_until_ready(gen())
     sec = device_time(step, dev_batch, iters=32, base_iters=2)
     return BATCH / sec, sec * 1e3
 
@@ -92,7 +101,7 @@ def main():
 
     batch = make_batch()
     cv_fps, cv_ms = bench_opencv(batch)
-    fps, ms_per_batch = bench_tpu(batch)
+    fps, ms_per_batch = bench_tpu()
 
     if args.full:
         from benchmarks.op_bench import run_op_table  # noqa

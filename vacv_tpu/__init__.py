@@ -18,11 +18,18 @@ from .core.image import Image, as_image, as_array
 from .core.types import (
     BorderMode,
     ColorCode,
+    ExtreSize,
+    IndexValue,
     InterMode,
     Layout,
     MatchMode,
     NormalAlg,
+    SimpleSize,
+    VAngle,
+    VEyeInfo,
+    VMatrix,
     VPoint,
+    VPoint3,
     VRect,
     VScalar,
     VSize,
@@ -74,7 +81,8 @@ __version__ = "0.1.0"
 __all__ = [
     "Image", "as_image", "as_array", "config",
     "Layout", "InterMode", "BorderMode", "MatchMode", "ColorCode",
-    "NormalAlg", "VSize", "VScalar", "VPoint", "VRect",
+    "NormalAlg", "VSize", "VScalar", "VPoint", "VPoint3", "VRect",
+    "VAngle", "VEyeInfo", "VMatrix", "SimpleSize", "ExtreSize", "IndexValue",
     "crop", "crop_dynamic", "cvt_color", "change_dtype", "change_layout",
     "resize", "mean_stddev", "normalize", "warp_affine", "warp_affine_rot",
     "get_rotation_matrix_2d", "invert_affine",

@@ -1,3 +1,4 @@
 from .image import Image, as_array, as_image
-from .types import (BorderMode, ColorCode, InterMode, Layout, MatchMode,
-                    NormalAlg, VPoint, VRect, VScalar, VSize)
+from .types import (BorderMode, ColorCode, ExtreSize, IndexValue, InterMode,
+                    Layout, MatchMode, NormalAlg, SimpleSize, VAngle,
+                    VEyeInfo, VMatrix, VPoint, VPoint3, VRect, VScalar, VSize)

@@ -147,3 +147,71 @@ class VRect:
 class NormalAlg(enum.IntEnum):
     MUL = 0
     DIV = 1
+
+
+@dataclass(frozen=True)
+class VPoint3:
+    """3-D point (reference ``vision_structs.h`` VPoint3)."""
+
+    x: float = 0.0
+    y: float = 0.0
+    z: float = 0.0
+
+
+@dataclass(frozen=True)
+class VAngle:
+    """Euler-angle triple (reference ``vision_structs.h`` VAngle:
+    yaw/pitch/roll, used by the face-pose callers of warp_affine)."""
+
+    yaw: float = 0.0
+    pitch: float = 0.0
+    roll: float = 0.0
+
+
+@dataclass(frozen=True)
+class VEyeInfo:
+    """Eye landmark info (reference ``vision_structs.h`` VEyeInfo) —
+    carried for API parity with the reference's face-alignment callers."""
+
+    center: VPoint = VPoint()
+    angle: float = 0.0
+
+
+@dataclass
+class VMatrix:
+    """Small dense matrix value type (reference ``vision_structs.h``
+    VMatrix).  Here simply a shaped numpy array wrapper; device math
+    uses jnp arrays directly."""
+
+    data: object = None
+
+    def numpy(self):
+        import numpy as np
+
+        return np.asarray(self.data)
+
+
+@dataclass(frozen=True)
+class SimpleSize:
+    """(w, h) pair (reference ``vision_structs.h`` SimpleSize)."""
+
+    width: int = 0
+    height: int = 0
+
+
+@dataclass(frozen=True)
+class ExtreSize:
+    """Min/max size bound pair (reference ``vision_structs.h``
+    ExtreSize)."""
+
+    min_size: SimpleSize = SimpleSize()
+    max_size: SimpleSize = SimpleSize()
+
+
+@dataclass(frozen=True)
+class IndexValue:
+    """(index, value) pair, the minMaxIdx result element (reference
+    ``vision_structs.h`` IndexValue)."""
+
+    index: int = 0
+    value: float = 0.0
