@@ -31,7 +31,20 @@ LADDER = [(144, 176), (360, 640), (720, 1280), (1080, 1920), (1440, 2560)]
 DEFAULT = [(360, 640), (1080, 1920)]
 
 
+ASSETS_DIR = None  # set via --assets to use real JPEGs (e.g. the
+                   # reference's /root/reference/src/test/res)
+
+
 def _img(h, w, seed=0):
+    if ASSETS_DIR:
+        import glob
+
+        from vacv_tpu.utils.loader import _decode
+
+        for p in sorted(glob.glob(f"{ASSETS_DIR}/*.jp*g")):
+            img = _decode(p)
+            if img.shape[:2] == (h, w):
+                return img
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     base = 128 + 70 * np.sin(xx / 37.0) + 50 * np.cos(yy / 23.0)
@@ -80,16 +93,16 @@ def build_tests(sizes):
         name = f"{w}x{h}"
 
         # every step slices an i-dependent (h-2)-row window to defeat
-        # loop-invariant code motion in the timing loop
+        # loop-invariant code motion in the timing loop (bound per size
+        # via default args: the loop variable would otherwise re-bind)
         def window(b, i, hh=h, ww=w):
             return lax.dynamic_slice(b, (i % 2, 0, 0), (hh - 2, ww, 3))
 
         # ---- crop (half-frame ROI) ----
         rect = (w // 8, h // 8, w // 2, h // 2)
 
-        def crop_step(i, b, r=rect, hh=h):
-            win = window(b, i)
-            return lax.dynamic_slice(win, (r[1], r[0], 0), (r[3], r[2], 3))
+        def crop_step(i, b, r=rect, win=window):
+            return lax.dynamic_slice(win(b, i), (r[1], r[0], 0), (r[3], r[2], 3))
 
         tests.append(TestFuncInfo(
             f"crop_{name}",
@@ -100,9 +113,8 @@ def build_tests(sizes):
         ))
 
         # ---- resize bilinear u8 -> 224 ----
-        def rs_step(i, b):
-            win = window(b, i)
-            return resize(vc.Image(win, Layout.HWC), (224, 224)).data
+        def rs_step(i, b, win=window):
+            return resize(vc.Image(win(b, i), Layout.HWC), (224, 224)).data
 
         tests.append(TestFuncInfo(
             f"resize_linear_u8_{name}",
@@ -113,9 +125,8 @@ def build_tests(sizes):
         ))
 
         # ---- resize bicubic f32 ----
-        def rc_step(i, b):
-            win = window(b, i)
-            return resize(vc.Image(win, Layout.HWC), (224, 224),
+        def rc_step(i, b, win=window):
+            return resize(vc.Image(win(b, i), Layout.HWC), (224, 224),
                           interpolation=vc.INTER_CUBIC).data
 
         tests.append(TestFuncInfo(
@@ -177,10 +188,9 @@ def build_tests(sizes):
         m = np.array([[0.85, 0.05, w * 0.02], [-0.05, 0.85, h * 0.02]],
                      np.float32)
 
-        def wa_step(i, b, mm=m, hh=h, ww=w):
-            win = window(b, i)
+        def wa_step(i, b, mm=m, hh=h, ww=w, win=window):
             return vc.warp_affine(
-                vc.Image(win, Layout.HWC), mm, (ww // 2, hh // 2)).data
+                vc.Image(win(b, i), Layout.HWC), mm, (ww // 2, hh // 2)).data
 
         tests.append(TestFuncInfo(
             f"warp_affine_{name}",
@@ -206,5 +216,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--ladder", action="store_true",
                     help="full 176x144..2560x1440 ladder")
+    ap.add_argument("--assets", default=None,
+                    help="JPEG dir for real inputs (matched by size)")
     args = ap.parse_args()
+    if args.assets:
+        ASSETS_DIR = args.assets
     run_op_table(LADDER if args.ladder else DEFAULT)

@@ -64,3 +64,9 @@ def test_min_max_loc(bgr_176x144):
     assert tuple(int(v) for v in max_pt) == (20, 30)
     ref_min, ref_max, ref_minl, ref_maxl = cv2.minMaxLoc(np.asarray(out.data))
     assert tuple(int(v) for v in max_pt) == tuple(ref_maxl)
+
+
+def test_min_max_idx_all_masked():
+    x = np.array([[3.0, 1.0], [7.0, -2.0]], np.float32)
+    mn, mx, _, _ = vc.min_max_idx(x, np.zeros_like(x, dtype=np.uint8))
+    assert np.isnan(float(mn)) and np.isnan(float(mx))

@@ -66,3 +66,13 @@ def test_pallas_fused_matches_jnp(bgr_176x144):
     out = normalize_fused_pallas(img).numpy()
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
     assert abs(cosine_similarity(out, ref) - 1) < 1e-7
+
+
+def test_normalize_partial_stats(bgr_176x144):
+    # Supplying only mean must honor it and auto-compute stddev.
+    src = bgr_176x144.astype(np.float32)
+    mean = np.array([100.0, 110.0, 120.0], np.float32)
+    out = vc.normalize(src, mean=mean).numpy()
+    _, s = vc.mean_stddev(src)
+    ref = (src - mean) / (np.asarray(s) + 1e-6)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

@@ -67,3 +67,19 @@ def test_weight_matrix_rows_sum_to_one():
                   _cubic_weights(n_in, n_out),
                   _area_weights(n_in, n_out)):
             np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=2e-3)
+
+
+def test_cubic_u8_rounds_like_opencv(bgr_176x144):
+    ref = cv2.resize(bgr_176x144, (88, 72), interpolation=cv2.INTER_CUBIC)
+    out = vc.resize(bgr_176x144, (88, 72), interpolation=vc.INTER_CUBIC).numpy()
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert (diff > 1).mean() < 0.001  # rounding parity, no floor bias
+    assert abs(np.mean(out.astype(float) - ref.astype(float))) < 0.05
+
+
+def test_area_u8_rounds_like_opencv(bgr_176x144):
+    ref = cv2.resize(bgr_176x144, (88, 72), interpolation=cv2.INTER_AREA)
+    out = vc.resize(bgr_176x144, (88, 72), interpolation=vc.INTER_AREA).numpy()
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert abs(np.mean(out.astype(float) - ref.astype(float))) < 0.05

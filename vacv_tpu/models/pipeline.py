@@ -105,10 +105,11 @@ class Preprocessor:
         return shard_batched(self._build(), mesh)
 
 
-def slam_frontend_config(src_hw: tuple[int, int] | None = None) -> PreprocessConfig:
+def slam_frontend_config() -> PreprocessConfig:
     """The BASELINE.json config-4 flagship: fused normalize pipeline
-    (crop → resize → chw → fp32 → normalize) for a SLAM/SfM keyframe
-    front-end."""
+    (resize → chw → fp32 → normalize) for a SLAM/SfM keyframe
+    front-end.  Add a ``crop_rect`` via ``dataclasses.replace`` when
+    the camera ROI is known."""
     return PreprocessConfig(
         out_size=(224, 224),
         interpolation=InterMode.INTER_LINEAR,

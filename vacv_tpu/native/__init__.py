@@ -113,8 +113,6 @@ def nv_to_bgr(y: np.ndarray, vu: np.ndarray, is_nv12: bool = False) -> np.ndarra
     h, w = y.shape
     lib = _load()
     if lib is None:
-        import sys
-
         # numpy fallback mirrors the jnp op
         vu32 = vu.astype(np.int32)
         if is_nv12:

@@ -70,6 +70,22 @@ def nv_to_bgr_planes(y_plane, vu_plane, *, is_nv12: bool):
     return nv_to_bgr_planes_jnp(y_plane, vu_plane, is_nv12=is_nv12)
 
 
+def _yuv_to_bgr_core(y_i32, v_full, u_full):
+    """Q7 integer YUV→BGR on full-resolution centred chroma planes.
+
+    Arithmetic >> 7 == floor-division by 128 on negatives, matching
+    C's signed shift in nv_to_bgr_naive (cvt_color.cpp:76-78).  Shared
+    by the NV and YV12 paths.
+    """
+    ra = (179 * v_full) >> 7
+    ga = (44 * u_full + 91 * v_full) >> 7
+    ba = (227 * u_full) >> 7
+    b = jnp.clip(y_i32 + ba, 0, 255).astype(jnp.uint8)
+    g = jnp.clip(y_i32 - ga, 0, 255).astype(jnp.uint8)
+    r = jnp.clip(y_i32 + ra, 0, 255).astype(jnp.uint8)
+    return b, g, r
+
+
 def nv_to_bgr_planes_jnp(y_plane, vu_plane, *, is_nv12: bool):
     """Pure-jnp reference implementation (XLA fuses the whole thing
     into one elementwise kernel over the planes)."""
@@ -79,20 +95,7 @@ def nv_to_bgr_planes_jnp(y_plane, vu_plane, *, is_nv12: bool):
         u_s, v_s = vu[:, 0::2], vu[:, 1::2]
     else:
         v_s, u_s = vu[:, 0::2], vu[:, 1::2]
-
-    v = _upsample2(v_s) - 128
-    u = _upsample2(u_s) - 128
-
-    # Arithmetic >> 7 == floor-division by 128 on negatives, matching
-    # C's signed shift in nv_to_bgr_naive (cvt_color.cpp:76-78).
-    ra = (179 * v) >> 7
-    ga = (44 * u + 91 * v) >> 7
-    ba = (227 * u) >> 7
-
-    b = jnp.clip(y + ba, 0, 255).astype(jnp.uint8)
-    g = jnp.clip(y - ga, 0, 255).astype(jnp.uint8)
-    r = jnp.clip(y + ra, 0, 255).astype(jnp.uint8)
-    return b, g, r
+    return _yuv_to_bgr_core(y, _upsample2(v_s) - 128, _upsample2(u_s) - 128)
 
 
 def cvt_color(src, code: ColorCode | int) -> Image:
@@ -124,15 +127,11 @@ def cvt_color(src, code: ColorCode | int) -> Image:
         half = (full_h // 2) * (w // 2)
         v_s = chroma[:half].reshape(full_h // 2, w // 2)
         u_s = chroma[half:].reshape(full_h // 2, w // 2)
-        yy = y.astype(jnp.int32)
-        v = _upsample2(v_s.astype(jnp.int32)) - 128
-        u = _upsample2(u_s.astype(jnp.int32)) - 128
-        ra = (179 * v) >> 7
-        ga = (44 * u + 91 * v) >> 7
-        ba = (227 * u) >> 7
-        b = jnp.clip(yy + ba, 0, 255).astype(jnp.uint8)
-        g = jnp.clip(yy - ga, 0, 255).astype(jnp.uint8)
-        r = jnp.clip(yy + ra, 0, 255).astype(jnp.uint8)
+        b, g, r = _yuv_to_bgr_core(
+            y.astype(jnp.int32),
+            _upsample2(v_s.astype(jnp.int32)) - 128,
+            _upsample2(u_s.astype(jnp.int32)) - 128,
+        )
         return Image(jnp.stack([b, g, r], axis=-1), Layout.HWC)
 
     if code not in _NV_CODES:

@@ -38,11 +38,23 @@ def imencode(src, ext: str = ".jpg", params=None) -> bytes:
         return bytes(buf.tobytes())
     except ImportError:
         import io
+        import warnings
 
         from PIL import Image as PILImage
 
-        fmt = {".jpg": "JPEG", ".jpeg": "JPEG", ".png": "PNG", ".bmp": "BMP",
-               ".webp": "WEBP"}[ext.lower()]
+        fmts = {".jpg": "JPEG", ".jpeg": "JPEG", ".png": "PNG", ".bmp": "BMP",
+                ".webp": "WEBP"}
+        fmt = fmts.get(ext.lower())
+        if fmt is None:
+            raise ValueError(
+                f"imencode: unsupported format {ext!r} without cv2 "
+                f"(PIL fallback supports {sorted(fmts)})"
+            )
+        if params:
+            warnings.warn(
+                "imencode: encode params are cv2-specific and ignored by "
+                "the PIL fallback", stacklevel=2,
+            )
         rgb = arr[..., ::-1] if arr.ndim == 3 and arr.shape[2] == 3 else arr
         bio = io.BytesIO()
         PILImage.fromarray(rgb).save(bio, format=fmt)

@@ -122,10 +122,20 @@ def min_max_idx(src, mask=None):
         big = jnp.float32(jnp.finfo(jnp.float32).max)
         flat_min = jnp.where(m, flat, big)
         flat_max = jnp.where(m, flat, -big)
-    else:
-        flat_min = flat_max = flat
-    min_idx = jnp.argmin(flat_min)
-    max_idx = jnp.argmax(flat_max)
+        min_idx = jnp.argmin(flat_min)
+        max_idx = jnp.argmax(flat_max)
+        # All-masked input has no extrema: return NaN values (jit-safe
+        # sentinel; a data-dependent raise is impossible under tracing).
+        none = jnp.logical_not(jnp.any(m))
+        nan = jnp.float32(jnp.nan)
+        return (
+            jnp.where(none, nan, flat[min_idx]),
+            jnp.where(none, nan, flat[max_idx]),
+            min_idx,
+            max_idx,
+        )
+    min_idx = jnp.argmin(flat)
+    max_idx = jnp.argmax(flat)
     return flat[min_idx], flat[max_idx], min_idx, max_idx
 
 

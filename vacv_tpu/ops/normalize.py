@@ -75,9 +75,18 @@ def normalize_jnp(src, mean=None, stddev=None) -> Image:
     planes, squeeze = _to_planes(img)
     c = planes.shape[0]
     if mean is None or stddev is None:
-        m, s = mean_stddev(img)
+        # Compute only what the caller didn't supply (the reference's
+        # empty-tensor convention covers both-or-neither; honoring a
+        # partially-supplied pair is strictly more useful than silently
+        # discarding it).
+        m_auto, s_auto = mean_stddev(img)
+        m = m_auto if mean is None else None
+        s = s_auto if stddev is None else None
     else:
+        m = s = None
+    if m is None:
         m = jnp.asarray(mean, dtype=jnp.float32).reshape(-1)[:c]
+    if s is None:
         s = jnp.asarray(stddev, dtype=jnp.float32).reshape(-1)[:c]
     out = (planes - m[:, None, None]) / (s[:, None, None] + EPS)
     if squeeze:

@@ -275,10 +275,17 @@ def resize(
         planes.astype(jnp.float32), h_out, w_out, mode, u8=is_u8
     )
     if is_u8:
-        # Fixed-point parity: the accumulated Q22 value is truncated
-        # (arithmetic >> 22 on non-negative data == floor).  A half-ULP
-        # epsilon absorbs f32 rounding of exactly-representable sums.
-        out = jnp.clip(jnp.floor(out + 1e-4), 0, 255).astype(jnp.uint8)
+        if mode == InterMode.INTER_LINEAR:
+            # Fixed-point parity: the accumulated Q22 value is truncated
+            # (arithmetic >> 22 on non-negative data == floor).  A
+            # half-ULP epsilon absorbs f32 rounding of exactly-
+            # representable sums.
+            out = jnp.clip(jnp.floor(out + 1e-4), 0, 255).astype(jnp.uint8)
+        else:
+            # cubic/area/nearest have no vacv fixed-point kernel (the
+            # reference forwards them to OpenCV, resize.cpp:46-49) —
+            # round to nearest like cv::resize does.
+            out = jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
     elif data.dtype != jnp.float32:
         # half-precision inputs (f16/bf16): accumulate in f32 on the
         # MXU, narrow on write-out (the fp16 graveyard resize's design,

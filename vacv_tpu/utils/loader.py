@@ -57,9 +57,18 @@ class BatchLoader:
     def _load_one(self, path: str) -> np.ndarray:
         img = _decode(path)
         if self.resize_to is not None:
-            import cv2
+            try:
+                import cv2
 
-            img = cv2.resize(img, self.resize_to)
+                img = cv2.resize(img, self.resize_to)
+            except ImportError:
+                from PIL import Image as PILImage
+
+                img = np.asarray(
+                    PILImage.fromarray(img).resize(
+                        self.resize_to, PILImage.BILINEAR
+                    )
+                )
         return img
 
     def __iter__(self) -> Iterator[np.ndarray]:

@@ -83,17 +83,25 @@ def device_time(step_fn, *args, iters: int = 32, base_iters: int = 2):
         # repetition counts (static k provoked pathological compiles).
         return lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    def run(k):
+    def run(k, reps):
         float(loop(k, *args))  # warm / compile
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             float(loop(k, *args))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_small = run(base_iters)
-    t_big = run(iters)
+    # Alternate small-K and big-K samples so slow drift in the
+    # dispatch/fetch constant (typical on remote-tunneled devices)
+    # affects both sides of the slope equally; keep the per-side min.
+    run(base_iters, 1)  # warm both compiled paths
+    run(iters, 1)
+    t_small = float("inf")
+    t_big = float("inf")
+    for _ in range(3):
+        t_small = min(t_small, run(base_iters, 1))
+        t_big = min(t_big, run(iters, 1))
     return max((t_big - t_small) / (iters - base_iters), 1e-9)
 
 
