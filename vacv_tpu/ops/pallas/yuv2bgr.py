@@ -65,10 +65,19 @@ def _kernel(y_ref, vu_ref, b_ref, g_ref, r_ref, *, is_nv12: bool):
 def _call(y_plane, vu_plane, *, is_nv12: bool, interpret: bool):
     h, w = y_plane.shape
     h2 = h // 2
-    y3 = y_plane.reshape(h2, 2, w)  # free row-major view
     t = min(128, h2)
-    grid = (pl.cdiv(h2, t),)
-    out_shape = jax.ShapeDtypeStruct((h2, 2, w), jnp.uint8)
+    # Mosaic cannot mask a partial (t, 2, w) rank-3 block, so the grid
+    # must divide evenly: pad the chroma-row axis up to a multiple of t
+    # (XLA fuses the pad into the relayout; garbage rows are sliced off
+    # after the kernel).
+    h2p = pl.cdiv(h2, t) * t
+    y3 = y_plane.reshape(h2, 2, w)  # free row-major view
+    vu = vu_plane
+    if h2p != h2:
+        y3 = jnp.pad(y3, ((0, h2p - h2), (0, 0), (0, 0)))
+        vu = jnp.pad(vu, ((0, h2p - h2), (0, 0)))
+    grid = (h2p // t,)
+    out_shape = jax.ShapeDtypeStruct((h2p, 2, w), jnp.uint8)
     kernel = functools.partial(_kernel, is_nv12=is_nv12)
     b, g, r = pl.pallas_call(
         kernel,
@@ -82,8 +91,12 @@ def _call(y_plane, vu_plane, *, is_nv12: bool, interpret: bool):
         ] * 3,
         out_shape=[out_shape] * 3,
         interpret=interpret,
-    )(y3, vu_plane)
-    return b.reshape(h, w), g.reshape(h, w), r.reshape(h, w)
+    )(y3, vu)
+    return (
+        b[:h2].reshape(h, w),
+        g[:h2].reshape(h, w),
+        r[:h2].reshape(h, w),
+    )
 
 
 def nv_to_bgr_pallas(y_plane, vu_plane, *, is_nv12: bool):
