@@ -94,15 +94,29 @@ def device_time(step_fn, *args, iters: int = 32, base_iters: int = 2):
 
     # Alternate small-K and big-K samples so slow drift in the
     # dispatch/fetch constant (typical on remote-tunneled devices)
-    # affects both sides of the slope equally; keep the per-side min.
+    # affects both sides of the slope equally; keep the per-side min
+    # and track jitter to detect an unresolvable slope.
     run(base_iters, 1)  # warm both compiled paths
     run(iters, 1)
-    t_small = float("inf")
-    t_big = float("inf")
-    for _ in range(3):
-        t_small = min(t_small, run(base_iters, 1))
-        t_big = min(t_big, run(iters, 1))
-    return max((t_big - t_small) / (iters - base_iters), 1e-9)
+    while True:
+        t_small = float("inf")
+        t_big = float("inf")
+        jitter = 0.0
+        prev_small = None
+        for _ in range(3):
+            s = run(base_iters, 1)
+            if prev_small is not None:
+                jitter = max(jitter, abs(s - prev_small))
+            prev_small = s
+            t_small = min(t_small, s)
+            t_big = min(t_big, run(iters, 1))
+        delta = t_big - t_small
+        # If the measured work is buried in dispatch jitter, widen the
+        # iteration gap (fast kernels on noisy links need more reps).
+        if delta > 3 * jitter or iters >= 512:
+            return max(delta / (iters - base_iters), 1e-9)
+        iters = min(iters * 4, 512)
+        run(iters, 1)  # compile/warm the wider loop
 
 
 def time_fn(fn, *args, iters: int = 10, warmup: int = 2):
