@@ -144,11 +144,12 @@ def build_tests(sizes):
         vu_j = jax.device_put(jnp.asarray(nv[h * w:].reshape(h // 2, w)))
 
         def cc_step(i, yy, vv, hh=h, ww=w):
-            from vacv_tpu.ops.cvt_color import nv_to_bgr_planes_jnp
+            # dispatcher: pallas kernel on TPU, jnp elsewhere
+            from vacv_tpu.ops.cvt_color import nv_to_bgr_planes
 
             ys = lax.dynamic_slice(yy, (2 * (i % 2), 0), (hh - 2, ww))
             vs = lax.dynamic_slice(vv, (i % 2, 0), (hh // 2 - 1, ww))
-            b, g, r = nv_to_bgr_planes_jnp(ys, vs, is_nv12=False)
+            b, g, r = nv_to_bgr_planes(ys, vs, is_nv12=False)
             return jnp.stack([b, g, r], axis=-1)
 
         def cv_cc(n=nv, hh=h, ww=w):

@@ -1,0 +1,51 @@
+"""Pallas warp kernel vs the jnp reference (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import vacv_tpu as vc
+from vacv_tpu.ops.pallas.warp_affine import warp_affine_pallas, warp_supported
+from vacv_tpu.ops.warp_affine import _warp_planes, invert_affine
+
+MATRICES = [
+    np.array([[0.85, 0.05, 12.0], [-0.05, 0.85, 9.0]], np.float32),
+    np.array([[1.2, -0.08, -20.0], [0.08, 1.2, 5.0]], np.float32),
+    np.array([[0.5, 0.0, 300.0], [0.0, 0.5, 200.0]], np.float32),  # mostly OOB
+]
+
+
+@pytest.mark.parametrize("mi", range(len(MATRICES)))
+@pytest.mark.parametrize("u8", [True, False])
+def test_kernel_matches_jnp(bgr_640x360, mi, u8):
+    import jax.numpy as jnp
+
+    m = MATRICES[mi]
+    minv = invert_affine(m)
+    assert warp_supported(minv, 360, 640, 1 if u8 else 4)
+    src = bgr_640x360 if u8 else bgr_640x360.astype(np.float32)
+    planes = jnp.transpose(jnp.asarray(src), (2, 0, 1))
+    h_out, w_out = 200, 250
+
+    out_k = np.asarray(warp_affine_pallas(
+        planes, minv, h_out, w_out, u8=u8, border_value=0.0))
+    ref = _warp_planes(
+        planes.astype(jnp.float32), minv, h_out, w_out, u8=u8,
+        border_value=0.0, edge_mode="opencv",
+    )
+    if u8:
+        ref = np.clip(np.floor(np.asarray(ref) + 1e-4), 0, 255).astype(np.uint8)
+        diff = np.abs(out_k.astype(int) - ref.astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.005
+    else:
+        np.testing.assert_allclose(out_k, np.asarray(ref), atol=1e-3)
+
+
+def test_kernel_border_value(bgr_640x360):
+    import jax.numpy as jnp
+
+    m = np.array([[1.0, 0.0, -720.0], [0.0, 1.0, -440.0]], np.float32)
+    minv = invert_affine(m)
+    planes = jnp.transpose(jnp.asarray(bgr_640x360), (2, 0, 1))
+    out = np.asarray(warp_affine_pallas(
+        planes, minv, 64, 64, u8=True, border_value=17.0))
+    assert (out == 17).all()

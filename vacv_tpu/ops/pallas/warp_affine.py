@@ -1,0 +1,236 @@
+"""Pallas affine-warp kernel — exact bilinear, gather-free.
+
+The jnp warp (``ops/warp_affine.py``) is exact but gather-bound: XLA's
+per-element 2D gather runs at ~1 element/cycle (~56 Mpx/s measured at
+1440p — 16 ms/frame).  This kernel removes the gather entirely, per the
+SURVEY §7 "hard parts" plan (tiled inverse mapping with per-tile
+bounding-box loads):
+
+For an output tile of T rows × L lanes, the inverse map is linear, so
+all source samples live in a band of ``BH × BW`` source pixels whose
+static size follows from the matrix coefficients.  Within the band:
+
+* **horizontal sampling is a matmul**: for each tile row, the 2-tap
+  bilinear x-weights form a banded ``(BW, L)`` matrix built *in
+  closed form* from an iota comparison (``cc == sx`` picks the taps) —
+  no gather, and the (BH, BW) @ (BW, L) product runs on the MXU;
+* **vertical sampling is a masked reduction** over the BH band rows on
+  the VPU (``sy`` relative to the band start selects each row's
+  contribution).
+
+Border handling matches the jnp op's OpenCV mode: per-tap validity
+zeroes the tap's weight, and the weight deficit is backfilled with the
+border value.  The u8 path uses the same Q11-quantized weights as the
+reference fixed-point kernel (warp_affine_naive.cpp:31-41) with Q22
+truncation on write-out.
+
+The source plane stays VMEM-resident across the row/col tile grid
+(re-fetched once per channel), so HBM traffic is one read of the
+source + one write of the output.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ... import config
+
+_COEF_SCALE = 2048.0
+
+# VMEM budget for keeping a source plane resident (u8 bytes).
+_PLANE_BUDGET = 8 * 1024 * 1024
+
+
+def _quantize_q11(w):
+    return jnp.floor(w * _COEF_SCALE + 0.5) / _COEF_SCALE
+
+
+def _kernel(src_ref, out_ref, *, m, h_in, w_in, t, l, bh, bw, u8, bv):
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+
+    dy = (ty * t + jax.lax.broadcasted_iota(jnp.int32, (t, l), 0)).astype(
+        jnp.float32
+    )
+    dx = (tx * l + jax.lax.broadcasted_iota(jnp.int32, (t, l), 1)).astype(
+        jnp.float32
+    )
+    m0, m1, m2, m3, m4, m5 = (jnp.float32(v) for v in m)
+    fx = jnp.clip(m0 * dx + m1 * dy + m2, -1e6, 1e6)
+    fy = jnp.clip(m3 * dx + m4 * dy + m5, -1e6, 1e6)
+
+    # Derive the fractional weights from the *integer* coordinates, not
+    # from a separate floor: XLA may materialize fx/fy twice with
+    # different FMA contraction, and an inconsistent (sy, ay) pair
+    # around integer boundaries selects the wrong source row outright.
+    # Anchoring ay to sy keeps the pair self-consistent to 1 ulp.
+    sx = jnp.floor(fx).astype(jnp.int32)
+    sy = jnp.floor(fy).astype(jnp.int32)
+    ax = jnp.clip(fx - sx.astype(jnp.float32), 0.0, 1.0)
+    ay = jnp.clip(fy - sy.astype(jnp.float32), 0.0, 1.0)
+
+    if u8:
+        wx0 = _quantize_q11(1.0 - ax)
+        wx1 = 1.0 - wx0
+        wy0 = _quantize_q11(1.0 - ay)
+        wy1 = 1.0 - wy0
+    else:
+        wx0, wx1 = 1.0 - ax, ax
+        wy0, wy1 = 1.0 - ay, ay
+
+    # Per-tap image-bounds validity (OpenCV BORDER_CONSTANT semantics).
+    x0_ok = ((sx >= 0) & (sx <= w_in - 1)).astype(jnp.float32)
+    x1_ok = ((sx >= -1) & (sx + 1 <= w_in - 1)).astype(jnp.float32)
+    y0_ok = ((sy >= 0) & (sy <= h_in - 1)).astype(jnp.float32)
+    y1_ok = ((sy >= -1) & (sy + 1 <= h_in - 1)).astype(jnp.float32)
+
+    # Band origin: tile minima aligned down to the VMEM slice
+    # granularity Mosaic can prove (sublanes: 32, lanes: 128); the
+    # static band sizes include the alignment slack, and the padded
+    # plane dims keep the clipped maximal start aligned too.
+    h_pad = src_ref.shape[1]
+    w_pad = src_ref.shape[2]
+    r0 = jnp.minimum(
+        (jnp.clip(jnp.min(sy), 0, None) // 32) * 32, h_pad - bh
+    )
+    c0 = jnp.minimum(
+        (jnp.clip(jnp.min(sx), 0, None) // 128) * 128, w_pad - bw
+    )
+    r0 = pl.multiple_of(r0, 32)
+    c0 = pl.multiple_of(c0, 128)
+
+    band = src_ref[0, pl.ds(r0, bh), pl.ds(c0, bw)]
+    band = band.astype(jnp.int32).astype(jnp.float32) if u8 else band.astype(
+        jnp.float32
+    )
+
+    sx_rel = sx - c0  # (t, l)
+    sy_rel = sy - r0
+
+    cc = jax.lax.broadcasted_iota(jnp.int32, (bw, l), 0)  # band column ids
+
+    wsum = (wx0 * x0_ok + wx1 * x1_ok) * (wy0 * y0_ok + wy1 * y1_ok)
+    border = jnp.float32(bv)
+
+    for trow in range(t):
+        sxr = sx_rel[trow : trow + 1, :]  # (1, l)
+        # Closed-form banded x-weight matrix: tap columns selected by
+        # iota equality — the "gather" is an equality compare.
+        wb = jnp.where(cc == sxr, wx0[trow : trow + 1, :] * x0_ok[trow : trow + 1, :], 0.0)
+        wb = wb + jnp.where(
+            cc == sxr + 1, wx1[trow : trow + 1, :] * x1_ok[trow : trow + 1, :], 0.0
+        )
+        # (bh, bw) @ (bw, l) on the MXU: horizontal sampling of every
+        # band row at this tile row's x positions.  HIGHEST precision:
+        # the MXU's default single bf16 pass rounds the Q11 weights
+        # (8-bit mantissa) and flips ~11% of u8 outputs by 1 LSB at the
+        # Q22 truncation boundary; f32 costs ~3x the kernel time but
+        # keeps the op bit-faithful (Mosaic supports no bf16x3 middle
+        # ground).
+        hrows = jnp.dot(
+            band, wb, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        syr = sy_rel[trow : trow + 1, :]  # (1, l)
+        w0 = wy0[trow : trow + 1, :] * y0_ok[trow : trow + 1, :]
+        w1 = wy1[trow : trow + 1, :] * y1_ok[trow : trow + 1, :]
+        # Vertical 2-tap select as an iota-compare weight field over the
+        # band rows — a pure VPU reduction, no per-row loop or gather.
+        dd = jax.lax.broadcasted_iota(jnp.int32, (bh, l), 0)
+        wv = jnp.where(dd == syr, w0, 0.0) + jnp.where(dd == syr + 1, w1, 0.0)
+        acc = jnp.sum(wv * hrows, axis=0, keepdims=True)
+        acc = acc + (1.0 - wsum[trow : trow + 1, :]) * border
+
+        if u8:
+            # Q22 truncation; no direct f32->u8 cast on Mosaic — via i32.
+            acc = jnp.clip(jnp.floor(acc + 1e-4), 0, 255)
+            out_ref[0, trow, :] = acc[0].astype(jnp.int32).astype(jnp.uint8)
+        else:
+            out_ref[0, trow, :] = acc[0]
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _band_sizes(minv, t, l, h_pad, w_pad):
+    """Static band sizes incl. the 32/128 origin-alignment slack."""
+    m = np.abs(np.asarray(minv, np.float64)).ravel()
+    bh = int(np.ceil(m[3] * (l - 1) + m[4] * (t - 1))) + 3
+    bw = int(np.ceil(m[0] * (l - 1) + m[1] * (t - 1))) + 3
+    bh = min(_round_up(bh + 32, 32), h_pad)
+    bw = min(_round_up(bw + 128, 128), w_pad)
+    return bh, bw
+
+
+def warp_supported(minv, h_in, w_in, itemsize: int = 1) -> bool:
+    """Can the pallas kernel handle this warp config?"""
+    if h_in * w_in * itemsize > _PLANE_BUDGET:
+        return False
+    t, l = 8, 128
+    bh, bw = _band_sizes(minv, t, l, _round_up(h_in, 32), _round_up(w_in, 128))
+    # W_b (bw, l) f32 + band (bh, bw) + hrows (bh, l), per unrolled row
+    return bh <= 224 and bw <= 1152
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "h_out", "w_out", "u8", "bv", "interpret"),
+)
+def _call(planes, *, m, h_out, w_out, u8, bv, interpret):
+    c, h_in, w_in = planes.shape
+    t, l = 8, 128
+    # Pad the plane so the maximal aligned band start stays in-bounds.
+    h_pad = _round_up(h_in, 32)
+    w_pad = _round_up(w_in, 128)
+    if (h_pad, w_pad) != (h_in, w_in):
+        planes = jnp.pad(
+            planes, ((0, 0), (0, h_pad - h_in), (0, w_pad - w_in))
+        )
+    bh, bw = _band_sizes(m, t, l, h_pad, w_pad)
+    hp = pl.cdiv(h_out, t) * t
+    wp = pl.cdiv(w_out, l) * l
+    grid = (c, hp // t, wp // l)
+    kernel = functools.partial(
+        _kernel, m=m, h_in=h_in, w_in=w_in, t=t, l=l, bh=bh, bw=bw, u8=u8,
+        bv=bv,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, h_pad, w_pad), lambda ci, ty, tx: (ci, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, l), lambda ci, ty, tx: (ci, ty, tx),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (c, hp, wp), jnp.uint8 if u8 else jnp.float32
+        ),
+        interpret=interpret,
+    )(planes)
+    return out[:, :h_out, :w_out]
+
+
+def warp_affine_pallas(planes, minv, h_out: int, w_out: int, *, u8: bool,
+                       border_value: float):
+    """Warp (c, h, w) planes (u8 or f32) with inverse matrix ``minv``.
+
+    Returns (c, h_out, w_out) in the input's dtype (u8 via Q22
+    truncation).  Caller must have checked ``warp_supported``.
+    """
+    m = tuple(float(v) for v in np.asarray(minv, np.float32).ravel())
+    return _call(
+        planes, m=m, h_out=h_out, w_out=w_out, u8=u8,
+        bv=float(border_value), interpret=config.pallas_interpret(),
+    )

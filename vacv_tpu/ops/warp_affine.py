@@ -199,6 +199,32 @@ def warp_affine(
     else:
         planes = data
 
+    # Fast path: the gather-free pallas kernel (TPU; exact bilinear,
+    # OpenCV border-constant semantics, u8 or f32).
+    use_kernel = False
+    if (
+        not replicate
+        and edge_mode == "opencv"
+        and data.dtype in (jnp.uint8, jnp.float32)
+    ):
+        from .. import config as vconfig
+        from .pallas.warp_affine import warp_affine_pallas, warp_supported
+
+        if vconfig.use_pallas() and warp_supported(
+            minv, planes.shape[-2], planes.shape[-1], data.dtype.itemsize
+        ):
+            use_kernel = True
+
+    if use_kernel:
+        out = warp_affine_pallas(
+            planes, minv, dsize.h, dsize.w, u8=is_u8, border_value=bv,
+        )
+        if squeeze:
+            out = out[0]
+        elif img.layout == Layout.HWC:
+            out = jnp.transpose(out, (1, 2, 0))
+        return img.with_data(out)
+
     out = _warp_planes(
         planes.astype(jnp.float32), minv, dsize.h, dsize.w, u8=is_u8,
         border_value=bv, edge_mode=edge_mode, replicate=replicate,
