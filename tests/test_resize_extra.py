@@ -83,3 +83,21 @@ def test_area_u8_rounds_like_opencv(bgr_176x144):
     diff = np.abs(out.astype(int) - ref.astype(int))
     assert diff.max() <= 1
     assert abs(np.mean(out.astype(float) - ref.astype(float))) < 0.05
+
+
+def test_lanczos4_matches_opencv(bgr_640x360):
+    src = bgr_640x360.astype(np.float32)
+    ref = cv2.resize(src, (320, 180), interpolation=cv2.INTER_LANCZOS4)
+    out = vc.resize(src, (320, 180),
+                    interpolation=vc.InterMode.INTER_LANCZOS4).numpy()
+    assert abs(cosine_similarity(out, ref) - 1) < 1e-5
+    interior = np.abs(out - ref)[8:-8, 8:-8]
+    assert interior.max() < 0.1
+
+
+def test_lanczos4_upscale(bgr_176x144):
+    src = bgr_176x144.astype(np.float32)
+    ref = cv2.resize(src, (352, 288), interpolation=cv2.INTER_LANCZOS4)
+    out = vc.resize(src, (352, 288),
+                    interpolation=vc.InterMode.INTER_LANCZOS4).numpy()
+    assert abs(cosine_similarity(out, ref) - 1) < 1e-5

@@ -145,6 +145,32 @@ def _cubic_weights(n_in: int, n_out: int) -> np.ndarray:
     return W
 
 
+def _lanczos4_weights(n_in: int, n_out: int) -> np.ndarray:
+    """Dense (n_out, n_in) Lanczos-4 weight matrix (OpenCV
+    INTER_LANCZOS4 semantics: 8 taps of sinc(x)·sinc(x/4), normalized
+    to unit sum, taps clamped to the image).  The reference forwards
+    this mode to OpenCV (resize.cpp:46-49); here it is just another
+    weight matrix for the same two-matmul resampler."""
+    if n_in < 8:
+        return _cubic_weights(n_in, n_out)
+    scale = n_in / n_out
+    d = np.arange(n_out, dtype=np.float64)
+    f = np.float32((d + 0.5) * scale - 0.5)
+    s = np.floor(f).astype(np.int64)
+    frac = (f - s).astype(np.float64)
+
+    W = np.zeros((n_out, n_in), dtype=np.float64)
+    taps = np.arange(-3, 5)  # 8 taps: s-3 .. s+4
+    for k in taps:
+        x = k - frac  # distance from the sample point
+        w = np.sinc(x) * np.sinc(x / 4.0)
+        w[np.abs(x) >= 4] = 0.0
+        cols = np.clip(s + k, 0, n_in - 1)
+        np.add.at(W, (np.arange(n_out), cols), w)
+    W /= W.sum(axis=1, keepdims=True)
+    return W.astype(np.float32)
+
+
 def _nearest_weights(n_in: int, n_out: int) -> np.ndarray:
     """One-hot (n_out, n_in) nearest-neighbour matrix (OpenCV mapping:
     ``sx = min(floor(dx * scale), n_in - 1)``)."""
@@ -194,6 +220,9 @@ def _weight_matrices(
     elif mode == InterMode.INTER_AREA:
         wy = _area_weights(h_in, h_out)
         wx = _area_weights(w_in, w_out)
+    elif mode == InterMode.INTER_LANCZOS4:
+        wy = _lanczos4_weights(h_in, h_out)
+        wx = _lanczos4_weights(w_in, w_out)
     else:
         raise NotImplementedError(f"resize mode {mode!r} not supported")
     return wy, wx
