@@ -49,3 +49,21 @@ def test_kernel_border_value(bgr_640x360):
     out = np.asarray(warp_affine_pallas(
         planes, minv, 64, 64, u8=True, border_value=17.0))
     assert (out == 17).all()
+
+
+def test_kernel_vmap_batched(bgr_640x360, rng):
+    # Preprocessor pipelines vmap over frames; the kernel must batch
+    # correctly (program_id axes shift under pallas vmap rules).
+    import jax
+    import jax.numpy as jnp
+
+    m = MATRICES[0]
+    minv = invert_affine(m)
+    other = rng.integers(0, 256, bgr_640x360.shape, dtype=np.uint8)
+    batch = jnp.stack(
+        [jnp.transpose(jnp.asarray(x), (2, 0, 1)) for x in (bgr_640x360, other)]
+    )
+    f = lambda p: warp_affine_pallas(p, minv, 96, 200, u8=True, border_value=0.0)
+    out_v = np.asarray(jax.vmap(f)(batch))
+    for i in range(2):
+        np.testing.assert_array_equal(out_v[i], np.asarray(f(batch[i])))
