@@ -228,20 +228,125 @@ def _weight_matrices(
     return wy, wx
 
 
-def _apply_separable(planes, wy, wx):
-    """``W_y @ planes @ W_xᵀ`` over the trailing (H, W) axes, pass order
-    chosen to minimize MACs.  ``planes``: (..., h_in, w_in) float32."""
+# Block-banded matmul parameters.  Interpolation weight matrices are
+# banded (2–8 taps per output), so a block of _BAND_BLOCK consecutive
+# outputs only touches a contiguous source band of ~block*scale+taps
+# elements.  Splitting the dense (n_out, n_in) matmul into per-block
+# (block, band) matmuls keeps exact MXU tiles (the block is the output
+# dim, the band only shortens the streamed K dim) while skipping the
+# structurally-zero tiles.  Measured on v5e at the 1080p→224 headline
+# shape this is ~2.2x on the pass it applies to — but ONLY on the
+# *second* pass: banding the first pass slices the original operand,
+# which breaks XLA's fusion of the u8→f32 convert into the dot and
+# costs far more in HBM traffic than the MACs saved.  The reference's
+# row-reuse NEON trick (resize_neon.cpp:86-127) exploits the same band
+# structure sequentially; this is its MXU-tile form.
+_BAND_BLOCK = 128
+_BAND_THRESHOLD = 0.85
+# Band starts are rounded down for layout-aligned slices (lane dim 128,
+# f32 sublane dim 8); misaligned slice starts force vector relayouts.
+_ALIGN_ROWS = 8
+_ALIGN_COLS = 128
+
+
+def _band_blocks(W: np.ndarray, align: int, block: int = _BAND_BLOCK):
+    """Row blocks of ``W`` with their (aligned) nonzero column bands.
+
+    Returns (blocks, cost) where blocks is a list of (r0, r1, c0, c1)
+    and cost = sum of block areas (MACs per unit of the other dim).
+    """
+    n_out = W.shape[0]
+    nz = W != 0.0
+    blocks = []
+    cost = 0
+    for r0 in range(0, n_out, block):
+        r1 = min(r0 + block, n_out)
+        cols = np.nonzero(nz[r0:r1].any(axis=0))[0]
+        c0 = (int(cols[0]) // align) * align
+        c1 = int(cols[-1]) + 1
+        blocks.append((r0, r1, c0, c1))
+        cost += (r1 - r0) * (c1 - c0)
+    return blocks, cost
+
+
+@functools.lru_cache(maxsize=512)
+def _pass_plan(key, align):
+    """Cached banding decision for one weight matrix.
+
+    ``key`` = ``_weight_matrices`` args + axis index; returns
+    (blocks_or_None, cost) where cost is MACs per unit of the
+    non-resampled dim.
+    """
+    W = _weight_matrices(*key[:6])[key[6]]
+    dense = W.shape[0] * W.shape[1]
+    blocks, banded = _band_blocks(W, align)
+    if len(blocks) > 1 and banded <= _BAND_THRESHOLD * dense:
+        return blocks, banded
+    return None, dense
+
+
+def _matmul_rows(W: np.ndarray, x, blocks):
+    """``W @ x`` over axis -2, optionally block-banded."""
+    if blocks is None:
+        return jnp.matmul(jnp.asarray(W), x, preferred_element_type=jnp.float32)
+    outs = [
+        jnp.matmul(
+            jnp.asarray(W[r0:r1, c0:c1]),
+            x[..., c0:c1, :],
+            preferred_element_type=jnp.float32,
+        )
+        for (r0, r1, c0, c1) in blocks
+    ]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-2)
+
+
+def _matmul_cols(W: np.ndarray, x, blocks):
+    """``x @ Wᵀ`` over axis -1, optionally block-banded."""
+    if blocks is None:
+        return jnp.matmul(x, jnp.asarray(W.T), preferred_element_type=jnp.float32)
+    outs = [
+        jnp.matmul(
+            x[..., :, c0:c1],
+            jnp.asarray(W[r0:r1, c0:c1].T),
+            preferred_element_type=jnp.float32,
+        )
+        for (r0, r1, c0, c1) in blocks
+    ]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _apply_separable(planes, wy, wx, wkey=None):
+    """``W_y @ planes @ W_xᵀ`` over the trailing (H, W) axes.
+
+    The first pass (consuming the original operand, so any upstream
+    convert/transpose stays fused into the dot) is always dense; the
+    second pass is block-banded when that cuts MACs.  Pass order is
+    chosen to minimize modeled MACs under that rule.
+    ``planes``: (..., h_in, w_in) float32."""
     h_out, h_in = wy.shape
     w_out, w_in = wx.shape
-    cost_h_first = h_out * h_in * w_in + h_out * w_in * w_out
-    cost_w_first = h_in * w_in * w_out + h_out * h_in * w_out
-    wy = jnp.asarray(wy)
-    wxt = jnp.asarray(wx).T
+    if wkey is not None:
+        yblocks, ycost = _pass_plan(wkey + (0,), _ALIGN_ROWS)
+        xblocks, xcost = _pass_plan(wkey + (1,), _ALIGN_COLS)
+    else:  # uncached weights (tests/direct use): plan inline
+        yblocks, ycost = _band_blocks(wy, _ALIGN_ROWS)
+        if not (len(yblocks) > 1 and ycost <= _BAND_THRESHOLD * h_out * h_in):
+            yblocks, ycost = None, h_out * h_in
+        xblocks, xcost = _band_blocks(wx, _ALIGN_COLS)
+        if not (len(xblocks) > 1 and xcost <= _BAND_THRESHOLD * w_out * w_in):
+            xblocks, xcost = None, w_out * w_in
+    # First pass dense (fusion), second pass banded (MAC/tile savings).
+    cost_h_first = h_out * h_in * w_in + xcost * h_out
+    cost_w_first = w_out * w_in * h_in + ycost * w_out
     if cost_h_first <= cost_w_first:
-        t = jnp.matmul(wy, planes, preferred_element_type=jnp.float32)
-        return jnp.matmul(t, wxt, preferred_element_type=jnp.float32)
-    t = jnp.matmul(planes, wxt, preferred_element_type=jnp.float32)
-    return jnp.matmul(wy, t, preferred_element_type=jnp.float32)
+        t = jnp.matmul(
+            jnp.asarray(wy), planes, preferred_element_type=jnp.float32
+        )
+        return _matmul_cols(wx, t, xblocks)
+    t = jnp.matmul(
+        planes, jnp.asarray(wx.T), preferred_element_type=jnp.float32
+    )
+    return _matmul_rows(wy, t, yblocks)
 
 
 def resize_planes(planes, h_out: int, w_out: int, mode: InterMode, *, u8: bool):
@@ -255,8 +360,9 @@ def resize_planes(planes, h_out: int, w_out: int, mode: InterMode, *, u8: bool):
         # Same-size: memcpy shortcut (resize.cpp:58-61).
         return planes
     quantize = bool(u8) and mode == InterMode.INTER_LINEAR
-    wy, wx = _weight_matrices(h_in, w_in, h_out, w_out, int(mode), quantize)
-    return _apply_separable(planes, wy, wx)
+    wkey = (h_in, w_in, h_out, w_out, int(mode), quantize)
+    wy, wx = _weight_matrices(*wkey)
+    return _apply_separable(planes, wy, wx, wkey)
 
 
 def _resolve_dsize(h_in, w_in, dsize, fx, fy):
