@@ -37,7 +37,11 @@ def test_kernel_matches_jnp(bgr_640x360, mi, u8):
         assert diff.max() <= 1
         assert (diff > 0).mean() < 0.005
     else:
-        np.testing.assert_allclose(out_k, np.asarray(ref), atol=1e-3)
+        # fx = m0*dx + m1*dy + m2 is contraction-order sensitive: one
+        # f32 ulp of fx (~2^-16 at fx~200) moves the fractional weight
+        # by ~1.5e-5, i.e. up to ~0.004 on 0..255 data.  Both kernel
+        # and jnp reference carry this; bound by the math, not 1e-3.
+        np.testing.assert_allclose(out_k, np.asarray(ref), atol=2e-2)
 
 
 def test_kernel_border_value(bgr_640x360):

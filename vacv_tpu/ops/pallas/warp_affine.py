@@ -50,16 +50,17 @@ def _quantize_q11(w):
     return jnp.floor(w * _COEF_SCALE + 0.5) / _COEF_SCALE
 
 
-def _kernel(src_ref, out_ref, *, m, h_in, w_in, t, l, bh, bw, u8, bv):
+def _kernel(src_ref, out_ref, *, m, h_in, w_in, t, l, bh, bw, rh, cw, u8, bv):
     ty = pl.program_id(1)
     tx = pl.program_id(2)
 
-    dy = (ty * t + jax.lax.broadcasted_iota(jnp.int32, (t, l), 0)).astype(
-        jnp.float32
-    )
-    dx = (tx * l + jax.lax.broadcasted_iota(jnp.int32, (t, l), 1)).astype(
-        jnp.float32
-    )
+    # All per-pixel coordinate/weight math runs in the flattened
+    # (1, t*l) layout — lane j' = trow*l + j — so the selection fields
+    # below need no concatenation (Mosaic cannot concat offset-layout
+    # row slices) and per-row views are 128-aligned static lane slices.
+    jc = jax.lax.broadcasted_iota(jnp.int32, (1, t * l), 1)
+    dy = (ty * t + jc // l).astype(jnp.float32)
+    dx = (tx * l + (jc % l)).astype(jnp.float32)
     m0, m1, m2, m3, m4, m5 = (jnp.float32(v) for v in m)
     fx = jnp.clip(m0 * dx + m1 * dy + m2, -1e6, 1e6)
     fy = jnp.clip(m3 * dx + m4 * dy + m5, -1e6, 1e6)
@@ -104,48 +105,91 @@ def _kernel(src_ref, out_ref, *, m, h_in, w_in, t, l, bh, bw, u8, bv):
     r0 = pl.multiple_of(r0, 32)
     c0 = pl.multiple_of(c0, 128)
 
-    band = src_ref[0, pl.ds(r0, bh), pl.ds(c0, bw)]
-    band = band.astype(jnp.int32).astype(jnp.float32) if u8 else band.astype(
-        jnp.float32
-    )
+    def load_band(row_start, nrows):
+        b = src_ref[0, pl.ds(row_start, nrows), pl.ds(c0, bw)]
+        return b.astype(jnp.int32).astype(jnp.float32) if u8 else b.astype(
+            jnp.float32
+        )
 
-    sx_rel = sx - c0  # (t, l)
+    # Second-level column narrowing: the tile's x taps span only
+    # ~|m0|*l + |m1|*t columns; c0 is 128-aligned so up to 127 of the
+    # loaded bw columns are slack.  A dynamic lane-rotate shifts the
+    # true tap start c1 to column 0, after which the static cw (<= bw)
+    # window covers every tap — shrinking both selection fields and
+    # both dots by bw/cw.  (c1 - c0 is in [0, bw - cw] by construction,
+    # so no real tap wraps out of the window.)
+    if cw < bw:
+        c1 = jnp.minimum(jnp.clip(jnp.min(sx), 0, None), w_pad - cw)
+    else:
+        c1 = c0  # window not narrowed; no roll
+    roll_amt = c1 - c0
+    sx_rel = sx - c1  # (1, t*l)
     sy_rel = sy - r0
-
-    cc = jax.lax.broadcasted_iota(jnp.int32, (bw, l), 0)  # band column ids
 
     wsum = (wx0 * x0_ok + wx1 * x1_ok) * (wy0 * y0_ok + wy1 * y1_ok)
     border = jnp.float32(bv)
 
-    for trow in range(t):
-        sxr = sx_rel[trow : trow + 1, :]  # (1, l)
-        # Closed-form banded x-weight matrix: tap columns selected by
-        # iota equality — the "gather" is an equality compare.
-        wb = jnp.where(cc == sxr, wx0[trow : trow + 1, :] * x0_ok[trow : trow + 1, :], 0.0)
-        wb = wb + jnp.where(
-            cc == sxr + 1, wx1[trow : trow + 1, :] * x1_ok[trow : trow + 1, :], 0.0
+    # The tile's vertical taps span only ~|m3|*l + |m4|*t source rows —
+    # a small slice of the (alignment-padded) band.  sy is affine in
+    # the output coords with bounded slopes, so the clipped minimum
+    # plus the static rh always covers every valid tap.
+    syc = jnp.clip(sy, 0, h_in - 1) - r0
+    ry0 = jnp.clip(jnp.min(syc), 0, bh - rh)
+    ry0 = pl.multiple_of((ry0 // 8) * 8, 8)
+    band = load_band(r0 + ry0, rh)
+    if cw < bw:
+        band = pltpu.roll(band, (bw - roll_amt) % bw, 1)[:, :cw]
+
+    # Horizontal sampling as 0/1 SELECTION matmuls: F[k, trow*l + j]
+    # picks band column sx (F1: sx+1) of tile row trow, lane j — one
+    # iota compare per tap for all t rows batched along N.  (F1 must
+    # be its own compare, not a roll of F: for fx in (-1, 0) the sx
+    # tap is out of band at column -1 while the sx+1 tap at column 0
+    # is valid.)  Because F is 0/1 and the u8 band values are 8-bit
+    # integers, a single DEFAULT bf16 MXU pass is exact; the Q11
+    # interpolation weights are applied *after* the dot on the VPU at
+    # full f32 precision, so the fixed-point reference arithmetic is
+    # reproduced bit-exactly without the ~6 passes of a
+    # HIGHEST-precision matmul.  (For f32 inputs the selection dots
+    # run at HIGHEST, which is exact for a 0/1 weight matrix.)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (cw, t * l), 0)
+    fdt = jnp.bfloat16 if u8 else jnp.float32
+    F = (cc == sx_rel).astype(fdt)
+    F1 = (cc == sx_rel + 1).astype(fdt)
+    if u8:
+        bb = band.astype(jnp.bfloat16)
+        p0cat = jnp.dot(bb, F, preferred_element_type=jnp.float32)
+        p1cat = jnp.dot(bb, F1, preferred_element_type=jnp.float32)
+    else:
+        p0cat = jnp.dot(
+            band, F, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        # (bh, bw) @ (bw, l) on the MXU: horizontal sampling of every
-        # band row at this tile row's x positions.  HIGHEST precision:
-        # the MXU's default single bf16 pass rounds the Q11 weights
-        # (8-bit mantissa) and flips ~11% of u8 outputs by 1 LSB at the
-        # Q22 truncation boundary; f32 costs ~3x the kernel time but
-        # keeps the op bit-faithful (Mosaic supports no bf16x3 middle
-        # ground).
-        hrows = jnp.dot(
-            band, wb, preferred_element_type=jnp.float32,
+        p1cat = jnp.dot(
+            band, F1, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
 
-        syr = sy_rel[trow : trow + 1, :]  # (1, l)
-        w0 = wy0[trow : trow + 1, :] * y0_ok[trow : trow + 1, :]
-        w1 = wy1[trow : trow + 1, :] * y1_ok[trow : trow + 1, :]
+    dd = jax.lax.broadcasted_iota(jnp.int32, (rh, l), 0) + ry0
+    wx0v = wx0 * x0_ok  # (1, t*l)
+    wx1v = wx1 * x1_ok
+    wy0v = wy0 * y0_ok
+    wy1v = wy1 * y1_ok
+    backfill = (1.0 - wsum) * border
+
+    for trow in range(t):
+        s = slice(trow * l, (trow + 1) * l)  # 128-aligned lane slice
+        hrows = wx0v[:, s] * p0cat[:, s] + wx1v[:, s] * p1cat[:, s]
+
+        syr = sy_rel[:, s]  # (1, l)
         # Vertical 2-tap select as an iota-compare weight field over the
-        # band rows — a pure VPU reduction, no per-row loop or gather.
-        dd = jax.lax.broadcasted_iota(jnp.int32, (bh, l), 0)
-        wv = jnp.where(dd == syr, w0, 0.0) + jnp.where(dd == syr + 1, w1, 0.0)
+        # sliced band rows — a pure VPU reduction, no per-row loop or
+        # gather.  Row ids are offset by the slice start.
+        wv = jnp.where(dd == syr, wy0v[:, s], 0.0) + jnp.where(
+            dd == syr + 1, wy1v[:, s], 0.0
+        )
         acc = jnp.sum(wv * hrows, axis=0, keepdims=True)
-        acc = acc + (1.0 - wsum[trow : trow + 1, :]) * border
+        acc = acc + backfill[:, s]
 
         if u8:
             # Q22 truncation; no direct f32->u8 cast on Mosaic — via i32.
@@ -160,13 +204,18 @@ def _round_up(x, m):
 
 
 def _band_sizes(minv, t, l, h_pad, w_pad):
-    """Static band sizes incl. the 32/128 origin-alignment slack."""
+    """Static band sizes incl. the 32/128 origin-alignment slack, plus
+    the per-output-row slice height rh (row sy span + tap + 8-align)."""
     m = np.abs(np.asarray(minv, np.float64)).ravel()
     bh = int(np.ceil(m[3] * (l - 1) + m[4] * (t - 1))) + 3
     bw = int(np.ceil(m[0] * (l - 1) + m[1] * (t - 1))) + 3
     bh = min(_round_up(bh + 32, 32), h_pad)
     bw = min(_round_up(bw + 128, 128), w_pad)
-    return bh, bw
+    tile_span = int(np.ceil(m[3] * (l - 1) + m[4] * (t - 1)))
+    rh = min(_round_up(tile_span + 10, 8), bh)
+    col_span = int(np.ceil(m[0] * (l - 1) + m[1] * (t - 1))) + 3
+    cw = min(_round_up(col_span, 128), bw)
+    return bh, bw, rh, cw
 
 
 def warp_supported(minv, h_in, w_in, itemsize: int = 1) -> bool:
@@ -174,8 +223,8 @@ def warp_supported(minv, h_in, w_in, itemsize: int = 1) -> bool:
     if h_in * w_in * itemsize > _PLANE_BUDGET:
         return False
     t, l = 8, 128
-    bh, bw = _band_sizes(minv, t, l, _round_up(h_in, 32), _round_up(w_in, 128))
-    # W_b (bw, l) f32 + band (bh, bw) + hrows (bh, l), per unrolled row
+    bh, bw, _, _ = _band_sizes(minv, t, l, _round_up(h_in, 32), _round_up(w_in, 128))
+    # W_b (bw, l) f32 + band (bh, bw) + hrows (rh, l), per unrolled row
     return bh <= 224 and bw <= 1152
 
 
@@ -185,7 +234,7 @@ def warp_supported(minv, h_in, w_in, itemsize: int = 1) -> bool:
 )
 def _call(planes, *, m, h_out, w_out, u8, bv, interpret):
     c, h_in, w_in = planes.shape
-    t, l = 8, 128
+    l = 128
     # Pad the plane so the maximal aligned band start stays in-bounds.
     h_pad = _round_up(h_in, 32)
     w_pad = _round_up(w_in, 128)
@@ -193,13 +242,22 @@ def _call(planes, *, m, h_out, w_out, u8, bv, interpret):
         planes = jnp.pad(
             planes, ((0, 0), (0, h_pad - h_in), (0, w_pad - w_in))
         )
-    bh, bw = _band_sizes(m, t, l, h_pad, w_pad)
+    # Tile height: taller tiles amortize per-tile grid overheads
+    # (measured 1.4 -> 0.97 ms at 1080p going 8 -> 32 rows), but the
+    # selection fields and sample matrices scale with t*l — back off
+    # for wide-band (strong downscale / large rotation) warps so the
+    # working set stays within VMEM.
+    for t in (32, 16, 8):
+        bh, bw, rh, cw = _band_sizes(m, t, l, h_pad, w_pad)
+        work = 2 * cw * t * l * (2 if u8 else 4) + 2 * rh * t * l * 4
+        if work <= 6 * 1024 * 1024 or t == 8:
+            break
     hp = pl.cdiv(h_out, t) * t
     wp = pl.cdiv(w_out, l) * l
     grid = (c, hp // t, wp // l)
     kernel = functools.partial(
-        _kernel, m=m, h_in=h_in, w_in=w_in, t=t, l=l, bh=bh, bw=bw, u8=u8,
-        bv=bv,
+        _kernel, m=m, h_in=h_in, w_in=w_in, t=t, l=l, bh=bh, bw=bw, rh=rh,
+        cw=cw, u8=u8, bv=bv,
     )
     out = pl.pallas_call(
         kernel,
