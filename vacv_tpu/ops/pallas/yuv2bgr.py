@@ -4,8 +4,8 @@ TPU redesign of ``CvtColor::nv_to_bgr_neon`` (reference
 ``/root/reference/src/cv/cvt_color.cpp:184-494``).  The NEON version
 burns most of its 300 lines on register-level deinterleave and a
 3-stage ``vtrn`` transpose network to repack interleaved BGR pixels.
-On TPU we keep channels planar, and the 2×2 chroma upsample maps onto
-the vector unit without any reshape:
+On TPU we keep channels planar and map the 2×2 chroma upsample onto
+the hardware's two vector axes:
 
 * **lanes** (width): the interleaved VU row [V0 U0 V1 U1 …] is spread
   to per-pixel V/U with a lane roll + parity select — V_full =
@@ -13,10 +13,11 @@ the vector unit without any reshape:
   roll(vu, -1), vu).  This replaces the NEON ``vld2``/``vtrn`` dance
   and, unlike a broadcast-reshape, is a layout-preserving op Mosaic
   lowers natively (its reshape inference rejects lane interleaves).
-* **sublanes** (height): the luma block arrives pre-viewed as
-  ``(t, 2, w)`` — a free row-major view of ``(2t, w)`` done by XLA
-  outside the kernel — so the two luma rows sharing a chroma row are
-  indexed statically instead of with strided sublane access.
+* **sublanes** (height): the 2× row repeat of the chroma adders is a
+  0/1 replication matmul ``Rep[r, r//2] = 1`` on the MXU.  The adders
+  are 9-bit integers, so a single DEFAULT bf16 pass is exact.  This
+  keeps every block rank-2 — an earlier ``(t, 2, w)`` rank-3 layout
+  put only 2 rows in each 32-sublane u8 tile and ran ~6× slower.
 
 Q7 integer math per ``nv_to_bgr_naive`` (cvt_color.cpp:76-94); the
 arithmetic ``>> 7`` on negative intermediates matches C's signed shift.
@@ -34,7 +35,7 @@ from ... import config
 
 
 def _kernel(y_ref, vu_ref, b_ref, g_ref, r_ref, *, is_nv12: bool):
-    vu = vu_ref[:].astype(jnp.int32)  # (t, w) interleaved pairs
+    vu = vu_ref[:].astype(jnp.int32)  # (t, w) interleaved chroma pairs
     t, w = vu.shape
 
     even = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1) % 2 == 0
@@ -49,16 +50,30 @@ def _kernel(y_ref, vu_ref, b_ref, g_ref, r_ref, *, is_nv12: bool):
     else:
         v, u = a_full - 128, b_full - 128
 
-    # Q7 coefficients (cvt_color.cpp:76-78)
+    # Q7 coefficients (cvt_color.cpp:76-78); adders fit in 9 bits.
     ra = (179 * v) >> 7
     ga = (44 * u + 91 * v) >> 7
     ba = (227 * u) >> 7
 
-    for p in (0, 1):  # the two luma rows sharing this chroma row
-        y = y_ref[:, p, :].astype(jnp.int32)
-        b_ref[:, p, :] = jnp.clip(y + ba, 0, 255).astype(jnp.uint8)
-        g_ref[:, p, :] = jnp.clip(y - ga, 0, 255).astype(jnp.uint8)
-        r_ref[:, p, :] = jnp.clip(y + ra, 0, 255).astype(jnp.uint8)
+    # 2× vertical repeat as an exact bf16 MXU matmul with the static
+    # 0/1 matrix Rep[r, r//2] = 1 (values are small integers).
+    rr = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 1)
+    rep = (rr // 2 == cc).astype(jnp.bfloat16)
+
+    def up2(x):
+        return jnp.dot(
+            rep, x.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+
+    y = y_ref[:].astype(jnp.int32).astype(jnp.float32)  # (2t, w)
+    b = jnp.clip(y + up2(ba), 0, 255)
+    g = jnp.clip(y - up2(ga), 0, 255)
+    r = jnp.clip(y + up2(ra), 0, 255)
+    # No direct f32->u8 cast on Mosaic; values are exact integers.
+    b_ref[:] = b.astype(jnp.int32).astype(jnp.uint8)
+    g_ref[:] = g.astype(jnp.int32).astype(jnp.uint8)
+    r_ref[:] = r.astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("is_nv12", "interpret"))
@@ -66,37 +81,31 @@ def _call(y_plane, vu_plane, *, is_nv12: bool, interpret: bool):
     h, w = y_plane.shape
     h2 = h // 2
     t = min(128, h2)
-    # Mosaic cannot mask a partial (t, 2, w) rank-3 block, so the grid
-    # must divide evenly: pad the chroma-row axis up to a multiple of t
-    # (XLA fuses the pad into the relayout; garbage rows are sliced off
-    # after the kernel).
+    # The grid must divide evenly: pad the chroma-row axis up to a
+    # multiple of t (garbage rows are sliced off after the kernel).
     h2p = pl.cdiv(h2, t) * t
-    y3 = y_plane.reshape(h2, 2, w)  # free row-major view
+    y2 = y_plane
     vu = vu_plane
     if h2p != h2:
-        y3 = jnp.pad(y3, ((0, h2p - h2), (0, 0), (0, 0)))
+        y2 = jnp.pad(y2, ((0, 2 * h2p - h), (0, 0)))
         vu = jnp.pad(vu, ((0, h2p - h2), (0, 0)))
     grid = (h2p // t,)
-    out_shape = jax.ShapeDtypeStruct((h2p, 2, w), jnp.uint8)
+    out_shape = jax.ShapeDtypeStruct((2 * h2p, w), jnp.uint8)
     kernel = functools.partial(_kernel, is_nv12=is_nv12)
     b, g, r = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((t, 2, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * t, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((t, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((t, 2, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((2 * t, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ] * 3,
         out_shape=[out_shape] * 3,
         interpret=interpret,
-    )(y3, vu)
-    return (
-        b[:h2].reshape(h, w),
-        g[:h2].reshape(h, w),
-        r[:h2].reshape(h, w),
-    )
+    )(y2, vu)
+    return b[:h], g[:h], r[:h]
 
 
 def nv_to_bgr_pallas(y_plane, vu_plane, *, is_nv12: bool):
