@@ -30,6 +30,31 @@ from ..parallel.mesh import make_mesh
 from ..parallel.pipeline import shard_batched
 
 
+def _decode_color(img: Image, code) -> Image:
+    """Pipeline-internal color decode that stays planar.
+
+    ``cvt_color`` mirrors the reference facade and emits HWC
+    (cvt_color.cpp:151-156); inside a pipeline that ends planar the
+    HWC interleave and the later CHW transpose would both be wasted
+    lane shuffles, so NV codes decode straight to a CHW Image (the
+    channel stack is a major-axis concat, which is cheap).  Every
+    downstream op is layout-aware.
+    """
+    from ..ops.cvt_color import _NV_CODES, nv_to_bgr_planes
+
+    code = ColorCode(code)
+    if code not in _NV_CODES:
+        return cvt_color(img, code)
+    is_nv12, to_rgb, alpha = _NV_CODES[code]
+    data = img.data
+    full_h = data.shape[0] * 2 // 3
+    b, g, r = nv_to_bgr_planes(data[:full_h], data[full_h:], is_nv12=is_nv12)
+    chans = [r, g, b] if to_rgb else [b, g, r]
+    if alpha:
+        chans.append(jnp.full_like(b, 255))
+    return Image(jnp.stack(chans, axis=0), Layout.CHW)
+
+
 @dataclass(frozen=True)
 class PreprocessConfig:
     """Declarative preprocessing recipe (all fields static)."""
@@ -70,7 +95,7 @@ class Preprocessor:
         def run(arr):
             img = Image(arr, Layout.HWC)
             if cfg.color_code is not None:
-                img = cvt_color(img, cfg.color_code)
+                img = _decode_color(img, cfg.color_code)
             if cfg.crop_rect is not None:
                 img = crop(img, cfg.crop_rect)
             if cfg.warp is not None:
