@@ -71,3 +71,46 @@ def test_kernel_vmap_batched(bgr_640x360, rng):
     out_v = np.asarray(jax.vmap(f)(batch))
     for i in range(2):
         np.testing.assert_array_equal(out_v[i], np.asarray(f(batch[i])))
+
+
+def test_kernel_large_rotation(bgr_640x360):
+    # 40-degree rotation: wide row-span band (rh hits its bh cap, the
+    # adaptive tile height backs off) — exercises the non-narrowed
+    # code paths of the selection-matmul kernel.
+    import jax.numpy as jnp
+
+    c, s = np.cos(np.deg2rad(40)), np.sin(np.deg2rad(40))
+    m = np.array([[c, -s, 220.0], [s, c, -80.0]], np.float32)
+    minv = invert_affine(m)
+    if not warp_supported(minv, 360, 640, 1):
+        pytest.skip("band exceeds kernel limits for this config")
+    planes = jnp.transpose(jnp.asarray(bgr_640x360), (2, 0, 1))
+    out_k = np.asarray(warp_affine_pallas(
+        planes, minv, 300, 400, u8=True, border_value=0.0))
+    ref = _warp_planes(
+        planes.astype(jnp.float32), minv, 300, 400, u8=True,
+        border_value=0.0, edge_mode="opencv",
+    )
+    ref = np.clip(np.floor(np.asarray(ref) + 1e-4), 0, 255).astype(np.uint8)
+    diff = np.abs(out_k.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.005
+
+
+def test_kernel_tall_output_tiles(bgr_640x360):
+    # Output taller than one 32-row tile and not a multiple of it, plus
+    # a non-128-multiple width: exercises tile padding + trimming.
+    import jax.numpy as jnp
+
+    m = MATRICES[0]
+    minv = invert_affine(m)
+    planes = jnp.transpose(jnp.asarray(bgr_640x360), (2, 0, 1))
+    out_k = np.asarray(warp_affine_pallas(
+        planes, minv, 333, 187, u8=True, border_value=3.0))
+    ref = _warp_planes(
+        planes.astype(jnp.float32), minv, 333, 187, u8=True,
+        border_value=3.0, edge_mode="opencv",
+    )
+    ref = np.clip(np.floor(np.asarray(ref) + 1e-4), 0, 255).astype(np.uint8)
+    diff = np.abs(out_k.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
