@@ -162,7 +162,7 @@ def build_tests():
     batch5j = put_sharded(batch5, mesh)
 
     def c5_step(i, b):
-        return step5(b + (i % 2).astype(b.dtype))
+        return step5(jitter(b, i))
 
     def c5_cv():
         roi = src5[36:1404, 64:2496]

@@ -40,8 +40,9 @@ def test_kernel_matches_jnp(bgr_640x360, mi, u8):
         # fx = m0*dx + m1*dy + m2 is contraction-order sensitive: one
         # f32 ulp of fx (~2^-16 at fx~200) moves the fractional weight
         # by ~1.5e-5, i.e. up to ~0.004 on 0..255 data.  Both kernel
-        # and jnp reference carry this; bound by the math, not 1e-3.
-        np.testing.assert_allclose(out_k, np.asarray(ref), atol=2e-2)
+        # and jnp reference carry this; bound by that math (plus
+        # margin), not the 1e-3 that only some inputs satisfy.
+        np.testing.assert_allclose(out_k, np.asarray(ref), atol=5e-3)
 
 
 def test_kernel_border_value(bgr_640x360):

@@ -40,19 +40,12 @@ def _decode_color(img: Image, code) -> Image:
     channel stack is a major-axis concat, which is cheap).  Every
     downstream op is layout-aware.
     """
-    from ..ops.cvt_color import _NV_CODES, nv_to_bgr_planes
+    from ..ops.cvt_color import _NV_CODES, nv_decode_channels
 
     code = ColorCode(code)
     if code not in _NV_CODES:
         return cvt_color(img, code)
-    is_nv12, to_rgb, alpha = _NV_CODES[code]
-    data = img.data
-    full_h = data.shape[0] * 2 // 3
-    b, g, r = nv_to_bgr_planes(data[:full_h], data[full_h:], is_nv12=is_nv12)
-    chans = [r, g, b] if to_rgb else [b, g, r]
-    if alpha:
-        chans.append(jnp.full_like(b, 255))
-    return Image(jnp.stack(chans, axis=0), Layout.CHW)
+    return Image(jnp.stack(nv_decode_channels(img.data, code), axis=0), Layout.CHW)
 
 
 @dataclass(frozen=True)

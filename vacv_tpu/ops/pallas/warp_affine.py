@@ -207,14 +207,12 @@ def _band_sizes(minv, t, l, h_pad, w_pad):
     """Static band sizes incl. the 32/128 origin-alignment slack, plus
     the per-output-row slice height rh (row sy span + tap + 8-align)."""
     m = np.abs(np.asarray(minv, np.float64)).ravel()
-    bh = int(np.ceil(m[3] * (l - 1) + m[4] * (t - 1))) + 3
-    bw = int(np.ceil(m[0] * (l - 1) + m[1] * (t - 1))) + 3
-    bh = min(_round_up(bh + 32, 32), h_pad)
-    bw = min(_round_up(bw + 128, 128), w_pad)
-    tile_span = int(np.ceil(m[3] * (l - 1) + m[4] * (t - 1)))
-    rh = min(_round_up(tile_span + 10, 8), bh)
-    col_span = int(np.ceil(m[0] * (l - 1) + m[1] * (t - 1))) + 3
-    cw = min(_round_up(col_span, 128), bw)
+    row_span = int(np.ceil(m[3] * (l - 1) + m[4] * (t - 1)))
+    col_span = int(np.ceil(m[0] * (l - 1) + m[1] * (t - 1)))
+    bh = min(_round_up(row_span + 3 + 32, 32), h_pad)
+    bw = min(_round_up(col_span + 3 + 128, 128), w_pad)
+    rh = min(_round_up(row_span + 10, 8), bh)
+    cw = min(_round_up(col_span + 3, 128), bw)
     return bh, bw, rh, cw
 
 
@@ -224,7 +222,11 @@ def warp_supported(minv, h_in, w_in, itemsize: int = 1) -> bool:
         return False
     t, l = 8, 128
     bh, bw, _, _ = _band_sizes(minv, t, l, _round_up(h_in, 32), _round_up(w_in, 128))
-    # W_b (bw, l) f32 + band (bh, bw) + hrows (rh, l), per unrolled row
+    # Matrix-magnitude gate, evaluated at the smallest tile height the
+    # adaptive _call would fall back to: beyond these band sizes (huge
+    # downscale factors / extreme shears) the selection fields F/F1
+    # (cw, t*l) plus the band no longer fit a safe VMEM share even at
+    # t=8, so the op routes to the jnp gather path instead.
     return bh <= 224 and bw <= 1152
 
 

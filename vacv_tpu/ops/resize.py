@@ -269,20 +269,20 @@ def _band_blocks(W: np.ndarray, align: int, block: int = _BAND_BLOCK):
     return blocks, cost
 
 
-@functools.lru_cache(maxsize=512)
-def _pass_plan(key, align):
-    """Cached banding decision for one weight matrix.
-
-    ``key`` = ``_weight_matrices`` args + axis index; returns
-    (blocks_or_None, cost) where cost is MACs per unit of the
-    non-resampled dim.
-    """
-    W = _weight_matrices(*key[:6])[key[6]]
+def _plan(W: np.ndarray, align: int):
+    """Banding decision for one weight matrix: (blocks_or_None, cost)
+    where cost is MACs per unit of the non-resampled dim."""
     dense = W.shape[0] * W.shape[1]
     blocks, banded = _band_blocks(W, align)
     if len(blocks) > 1 and banded <= _BAND_THRESHOLD * dense:
         return blocks, banded
     return None, dense
+
+
+@functools.lru_cache(maxsize=512)
+def _pass_plan(key, align):
+    """Cached ``_plan`` keyed by ``_weight_matrices`` args + axis."""
+    return _plan(_weight_matrices(*key[:6])[key[6]], align)
 
 
 def _matmul_rows(W: np.ndarray, x, blocks):
@@ -328,13 +328,9 @@ def _apply_separable(planes, wy, wx, wkey=None):
     if wkey is not None:
         yblocks, ycost = _pass_plan(wkey + (0,), _ALIGN_ROWS)
         xblocks, xcost = _pass_plan(wkey + (1,), _ALIGN_COLS)
-    else:  # uncached weights (tests/direct use): plan inline
-        yblocks, ycost = _band_blocks(wy, _ALIGN_ROWS)
-        if not (len(yblocks) > 1 and ycost <= _BAND_THRESHOLD * h_out * h_in):
-            yblocks, ycost = None, h_out * h_in
-        xblocks, xcost = _band_blocks(wx, _ALIGN_COLS)
-        if not (len(xblocks) > 1 and xcost <= _BAND_THRESHOLD * w_out * w_in):
-            xblocks, xcost = None, w_out * w_in
+    else:  # uncached weights (direct use): plan inline
+        yblocks, ycost = _plan(wy, _ALIGN_ROWS)
+        xblocks, xcost = _plan(wx, _ALIGN_COLS)
     # First pass dense (fusion), second pass banded (MAC/tile savings).
     cost_h_first = h_out * h_in * w_in + xcost * h_out
     cost_w_first = w_out * w_in * h_in + ycost * w_out
