@@ -1,0 +1,462 @@
+"""Fused Pallas preprocess kernel: crop → bilinear resize → CHW f32 →
+per-image normalize, in ONE pass over HBM.
+
+This is the flagship kernel (BASELINE config 4, the headline bench).
+The XLA pipeline already fuses the dtype widen and normalize into the
+resize matmuls, but its first (dense) resize pass is MXU-bound:
+``W_y (oh, ch) @ src (ch, W*3)`` costs ``oh*ch*W*3`` MACs while the
+bilinear band structure only needs ~``2*oh*W*3`` (see the banding notes
+in ``ops/resize.py`` — banding pass 1 under XLA breaks the u8 convert
+fusion, so the jnp path leaves it dense).  Inside a kernel we control
+the fusion, so both passes are banded:
+
+* the frame streams HBM→VMEM once as u8 via double-buffered DMA in
+  row chunks (the only read of the 6 MB frame);
+* **vertical pass**: per chunk, a small ``(RW, CH) @ (CH, W*3)``
+  matmul accumulates into the chunk's static output-row window of a
+  VMEM-resident f32 accumulator — ~10× fewer MACs than dense;
+* **horizontal pass** (on the frame's last chunk): banded matmuls on
+  the *interleaved* lane axis — out lane ``o*3+c`` draws from src
+  lanes ``(left+w)*3+c``, so each 128-lane output block touches a
+  ``~128·scale`` source band and crop-left rides the weights;
+* vacv u8 fixed-point parity truncation (``floor`` after the Q11
+  matmuls, resize_naive.cpp:61-64) and the per-channel moments happen
+  in VMEM; the tiny interleaved result + stats are written out and a
+  fused XLA epilogue does the HWC→CHW deinterleave and the
+  ``(x−μ)/(σ+1e-6)`` scale (one pass over the 0.6 MB/frame output).
+
+Matmuls run on the MXU in bf16.  ``precise=True`` splits both weights
+and the horizontal operand into hi/lo bf16 pairs (Dekker-style), making
+each pass exact to f32 accumulation — used by the CPU differential
+tests; the fast path's plain bf16 matches the jnp pipeline's own
+on-TPU numerics (default matmul precision is bf16) within the 1e-4
+cosine bar.
+
+Crop-top can be a *runtime* scalar (scalar-prefetched into the DMA row
+offsets); everything else is static.  Callers fall back to the jnp
+pipeline for configs the planner rejects (non-u8, non-HWC3, odd lane
+widths, tiny crops, VMEM overflow).
+
+Reference parity anchors: crop rect semantics crop.cpp:127-131;
+bilinear Q11 weights resize_naive.cpp:20-53; normalize chain
+normalize.cpp:84-120.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ... import config
+from ..resize import _linear_weights
+
+EPS = 1e-6
+
+_LANE = 128
+# Source rows per DMA chunk (u8 sublane tile = 32; 64 keeps the
+# out-row window small so the vertical matmuls stay near the band).
+_CHUNK = 64
+_VMEM_BUDGET = int(14.5 * 1024 * 1024)
+# DMA pipeline depth (outstanding HBM->VMEM chunk copies).
+_NBUF = 4
+
+
+def _ceil_to(x: int, n: int) -> int:
+    return -(-x // n) * n
+
+
+def _split_hi_lo(w: np.ndarray):
+    """Dekker split: w == hi + lo exactly, both bf16."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(np.float32)).astype(jnp.bfloat16)
+    return np.stack([hi, lo])
+
+
+@dataclass(frozen=True)
+class _Plan:
+    """Static planning product for one (shape, crop, out) config."""
+
+    n_chunks: int
+    chunk_rows: int      # CH
+    row_win: int         # RW: out-row window per chunk (multiple of 8)
+    starts: tuple        # (n_chunks,) src row start (crop-relative)
+    out_row0: tuple      # (n_chunks,) out-row window start (mult of 8)
+    op3: int             # padded interleaved out lanes (mult of 128)
+    n_xblocks: int
+    xband: int           # BW: padded horizontal band (multiple of 128)
+    xstarts: tuple       # (n_xblocks,) src lane band start (mult of 128)
+    wy: np.ndarray       # (2, n_chunks, RW, CH) bf16 hi/lo
+    wx: np.ndarray       # (2, n_xblocks, BW, 128) bf16 hi/lo
+    vmem_bytes: int
+
+
+@functools.lru_cache(maxsize=64)
+def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
+          oh: int, ow: int) -> _Plan | None:
+    """Build the banded weight tables.  Returns None if unsupported."""
+    w3 = w_img * 3
+    if w3 % _LANE:          # lane-pad odd widths via the jnp path
+        return None
+    if ch < _CHUNK:         # tiny crops: jnp path (chunk would read
+        return None         # past the crop for an unknown runtime top)
+    if h_img % 8 or h_img < _CHUNK + 8:
+        # DMA row offsets must be 8-aligned (i8 HBM tiling); the
+        # aligned-base + shifted-weight-variant trick needs H % 8 == 0.
+        return None
+
+    # ---- vertical: chunked Q11 bilinear rows ----------------------
+    wy_full = _linear_weights(ch, oh, quantize=True)  # (oh, ch)
+    n_chunks = -(-ch // _CHUNK)
+    starts, slices = [], []
+    prev_end = 0
+    row_win = 8
+    for j in range(n_chunks):
+        s = min(j * _CHUNK, ch - _CHUNK)
+        wyj = wy_full[:, s : s + _CHUNK].copy()
+        # Overlap with the previous chunk (clamped last chunk): zero
+        # the already-covered columns so each weight lands exactly once.
+        if s < prev_end:
+            wyj[:, : prev_end - s] = 0.0
+        prev_end = s + _CHUNK
+        nz = np.nonzero(wyj.any(axis=1))[0]
+        r0 = 0 if len(nz) == 0 else (int(nz[0]) // 8) * 8
+        r1 = r0 if len(nz) == 0 else int(nz[-1]) + 1
+        row_win = max(row_win, _ceil_to(max(r1 - r0, 8), 8))
+        starts.append(s)
+        slices.append((wyj, r0))
+    row_win = min(row_win, _ceil_to(oh, 8))
+    out0 = []
+    # Chunks are DMA'd from an 8-aligned base row, so the crop rows
+    # sit at a runtime shift rem = row0 - base ∈ [0, 8] inside a
+    # (CHUNK+8)-row buffer.  Pre-shift the weight columns for each of
+    # the 9 possible rem values; the scalar-prefetch index map picks
+    # the right variant per step.
+    wy = np.zeros((9, n_chunks, row_win, _CHUNK + 8), np.float32)
+    for j, (wyj, r0) in enumerate(slices):
+        r0 = min(r0, max(oh - row_win, 0))
+        r1 = min(r0 + row_win, oh)
+        out0.append(r0)
+        if wyj[:r0].any() or wyj[r1:].any():
+            return None  # window miss (cannot happen; belt-and-braces)
+        for rem in range(9):
+            wy[rem, j, : r1 - r0, rem : rem + _CHUNK] = wyj[r0:r1]
+
+    # ---- horizontal: banded Q11 bilinear over interleaved lanes ---
+    wx_full = _linear_weights(cw, ow, quantize=True)  # (ow, cw)
+    op3 = _ceil_to(ow * 3, _LANE)
+    n_xblocks = op3 // _LANE
+    taps = [np.nonzero(wx_full[o])[0] for o in range(ow)]
+    raw, xband = [], _LANE
+    for b in range(n_xblocks):
+        lanes = np.arange(b * _LANE, (b + 1) * _LANE)
+        src_lanes = [
+            (left + t) * 3 + (ln % 3)
+            for ln in lanes if ln < ow * 3
+            for t in taps[ln // 3]
+        ]
+        if not src_lanes:   # block is pure lane padding
+            raw.append(None)
+            continue
+        c0 = (min(src_lanes) // _LANE) * _LANE
+        c1 = max(src_lanes) + 1
+        raw.append((c0, c1))
+        xband = max(xband, _ceil_to(c1 - c0, _LANE))
+    if xband > w3:
+        return None
+    xstarts = []
+    wx = np.zeros((n_xblocks, xband, _LANE), np.float32)
+    for b in range(n_xblocks):
+        if raw[b] is None:
+            xstarts.append(0)
+            continue
+        # The band is uniform (= the widest block's); slide the start
+        # down so it never pokes past the row end.
+        c0 = min(raw[b][0], w3 - xband)
+        xstarts.append(c0)
+        for i in range(_LANE):
+            ln = b * _LANE + i
+            if ln >= ow * 3:
+                continue
+            o, c = ln // 3, ln % 3
+            for t in taps[o]:
+                wx[b, (left + t) * 3 + c - c0, i] = wx_full[o, t]
+
+    rows = _CHUNK + 8
+    vmem = (
+        oh * w3 * 4                      # f32 accumulator
+        + _NBUF * rows * w3              # pipelined u8 chunk buffers
+        + rows * w3 * 6                  # widen temporaries (f32+bf16)
+        + row_win * rows * 2 * 2         # wy block (+pipeline copy)
+        + wx.size * 2                    # wx bands (bf16, hi half)
+        + oh * op3 * 4                   # out block
+        + oh * xband * 4                 # horizontal operand split temp
+    )
+    if vmem > _VMEM_BUDGET:
+        return None
+    return _Plan(
+        n_chunks, _CHUNK, row_win, tuple(starts), tuple(out0),
+        op3, n_xblocks, xband, tuple(xstarts),
+        _split_hi_lo(wy), _split_hi_lo(wx), vmem,
+    )
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _kernel(
+    # scalar prefetch
+    top_ref, starts_ref, out0_ref,
+    # inputs
+    src_hbm, wy_ref, wx_ref,
+    # outputs
+    out_ref, stats_ref,
+    # scratch
+    acc, buf, sem,
+    *, plan: _Plan, oh: int, ow: int, trunc_u8: bool, precise: bool,
+    stage: int = 3,
+):
+    nj = plan.n_chunks
+    f = pl.program_id(0)
+    j = pl.program_id(1)
+    step = f * nj + j
+    rows = plan.chunk_rows + 8
+    h_img = src_hbm.shape[1]
+
+    def dma(slot, ff, jj):
+        # 8-aligned DMA base (i8 HBM tiling requires it); the runtime
+        # residual shift rem ∈ [0, 8] is baked into the prefetched
+        # weight variant (see the wy index map).
+        row0 = top_ref[0] + starts_ref[jj]
+        base = jnp.minimum((row0 // 8) * 8, h_img - rows)
+        return pltpu.make_async_copy(
+            src_hbm.at[ff, pl.ds(pl.multiple_of(base, 8), rows), :],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    # Keep _NBUF DMAs in flight across grid steps: the chunks are a
+    # few hundred KB each, so a single outstanding copy leaves the
+    # stream issue-latency-bound far below HBM bandwidth.
+    n_total = pl.num_programs(0) * nj
+
+    @pl.when(step == 0)
+    def _():
+        # Warm-up: issue the first _NBUF-1 copies (static indices).
+        for k in range(_NBUF - 1):
+            @pl.when(k < n_total)
+            def _():
+                dma(k % _NBUF, k // nj, k % nj).start()
+
+    nxt = step + _NBUF - 1
+
+    @pl.when(nxt < n_total)
+    def _():
+        dma(nxt % _NBUF, nxt // nj, nxt % nj).start()
+
+    dma(step % _NBUF, f, j).wait()
+
+    @pl.when(j == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    # Vertical banded pass: (RW, CH) @ (CH, W*3) into the out-row
+    # window.  u8 is exact in bf16 (≤8 significand bits); Mosaic has
+    # no direct u8→float cast, so widen via int32.
+    if stage >= 1:
+        chunk = (
+            buf[step % _NBUF].astype(jnp.int32).astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )
+    if stage >= 2:
+        part = _dot(wy_ref[0, 0, 0], chunk)
+        if precise:
+            part += _dot(wy_ref[1, 0, 0], chunk)
+        r0 = pl.multiple_of(out0_ref[j], 8)
+        acc[pl.ds(r0, plan.row_win), :] += part
+    elif stage == 1:
+        acc[0 : plan.row_win, :] += chunk[: plan.row_win].astype(jnp.float32)
+
+    # Frame's last chunk: horizontal banded pass + trunc + moments.
+    @pl.when(j == nj - 1)
+    def _():
+        if stage < 3:
+            for b in range(plan.n_xblocks):
+                out_ref[0, :, b * _LANE : (b + 1) * _LANE] = acc[
+                    :, b * _LANE : (b + 1) * _LANE
+                ]
+            stats_ref[0] = jnp.zeros((8, _LANE), jnp.float32)
+            return
+        for b in range(plan.n_xblocks):  # static unroll
+            c0 = plan.xstarts[b]
+            a = acc[:, c0 : c0 + plan.xband]
+            ahi = a.astype(jnp.bfloat16)
+            out = _dot(ahi, wx_ref[0, b])
+            if precise:
+                alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+                out += _dot(ahi, wx_ref[1, b])
+                out += _dot(alo, wx_ref[0, b])
+                out += _dot(alo, wx_ref[1, b])
+            out_ref[0, :, b * _LANE : (b + 1) * _LANE] = out
+        r = out_ref[0]
+        if trunc_u8:
+            # vacv fixed-point parity: Q22 truncation on non-negative
+            # data == floor (resize_naive.cpp:61-64); epsilon absorbs
+            # f32 rounding of exactly-representable sums.
+            r = jnp.clip(jnp.floor(r + 1e-4), 0.0, 255.0)
+            out_ref[0] = r
+        # Per-channel moments over the interleaved lanes, all in VMEM.
+        lanes = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+        cid = lanes % 3
+        valid = lanes < ow * 3
+        n = float(oh * ow)
+        sl = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 1)
+        stats = jnp.zeros((8, _LANE), jnp.float32)
+        for c in range(3):
+            m = ((cid == c) & valid).astype(jnp.float32)
+            mu = jnp.sum(r * m) / n
+            var = jnp.sum(jnp.square((r - mu) * m)) / n
+            stats += jnp.where(sl == c, mu, 0.0)
+            stats += jnp.where(sl == 3 + c, jnp.sqrt(var), 0.0)
+        stats_ref[0] = stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("left", "cw", "ch", "oh", "ow", "trunc_u8",
+                     "precise", "interpret", "stage"),
+)
+def _call(batch, top, *, left, cw, ch, oh, ow, trunc_u8, precise,
+          interpret, stage=3):
+    n, h, w, _ = batch.shape
+    plan = _plan(h, w, left, cw, ch, oh, ow)
+    src = batch.reshape(n, h, w * 3)
+    kern = functools.partial(
+        _kernel, plan=plan, oh=oh, ow=ow, trunc_u8=trunc_u8,
+        precise=precise, stage=stage,
+    )
+    rows = plan.chunk_rows + 8
+
+    def wy_index(f, j, top_ref, starts_ref, out0_ref):
+        # Pick the weight variant matching the chunk's DMA alignment
+        # shift (see the dma() comment in the kernel).
+        row0 = top_ref[0] + starts_ref[j]
+        base = jnp.minimum((row0 // 8) * 8, h - rows)
+        return (0, row0 - base, j, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n, plan.n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(
+                (2, 1, 1, plan.row_win, rows),
+                wy_index,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, oh, plan.op3), lambda f, j, *_: (f, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, _LANE), lambda f, j, *_: (f, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((oh, w * 3), jnp.float32),
+            pltpu.VMEM((_NBUF, rows, w * 3), jnp.uint8),
+            pltpu.SemaphoreType.DMA((_NBUF,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, oh, plan.op3), jnp.float32),
+            jax.ShapeDtypeStruct((n, 8, _LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray([top], jnp.int32),
+        jnp.asarray(plan.starts, jnp.int32),
+        jnp.asarray(plan.out_row0, jnp.int32),
+        src,
+        jnp.asarray(plan.wy if precise else plan.wy[:1]),
+        jnp.asarray(plan.wx if precise else plan.wx[:1]),
+    )
+
+
+def plan_supported(h, w, left, cw, ch, oh, ow) -> bool:
+    """Can the fused kernel run this config?"""
+    return _plan(h, w, left, cw, ch, oh, ow) is not None
+
+
+def preprocess_fused_batch(
+    batch,
+    crop_rect=None,
+    out_size=(224, 224),
+    *,
+    top=None,
+    mean=None,
+    stddev=None,
+    normalize=True,
+    trunc_u8=True,
+    precise=False,
+    stage=3,
+):
+    """Fused crop→resize→CHW→f32→normalize over a (N, H, W, 3) u8 batch.
+
+    ``crop_rect``: VRect-like (static); ``top`` optionally overrides the
+    rect's top with a *runtime* scalar (same row count).  Returns
+    (N, 3, oh, ow) f32.  Raises ValueError for unsupported configs
+    (callers fall back to the jnp pipeline).
+    """
+    if batch.dtype != jnp.uint8 or batch.ndim != 4 or batch.shape[-1] != 3:
+        raise ValueError("fused preprocess needs (N, H, W, 3) uint8")
+    n, h, w, _ = batch.shape
+    if crop_rect is None:
+        left, top0, cw, ch = 0, 0, w, h
+    else:
+        left, top0 = int(crop_rect.left), int(crop_rect.top)
+        cw = int(crop_rect.width())
+        ch = int(crop_rect.height())
+    ow, oh = int(out_size[0]), int(out_size[1])
+    if _plan(h, w, left, cw, ch, oh, ow) is None:
+        raise ValueError("config not supported by the fused kernel")
+    res, stats = _call(
+        batch,
+        top0 if top is None else top,
+        left=left, cw=cw, ch=ch, oh=oh, ow=ow,
+        trunc_u8=trunc_u8, precise=precise, stage=stage,
+        interpret=config.pallas_interpret(),
+    )
+    # Fused XLA epilogue on the tiny output: deinterleave HWC→CHW and
+    # apply the normalize scale.
+    out = jnp.transpose(
+        res[:, :, : ow * 3].reshape(n, oh, ow, 3), (0, 3, 1, 2)
+    )
+    if not normalize:
+        return out
+    if mean is None and stddev is None:
+        m = stats[:, 0, 0:3, None, None]
+        s = stats[:, 0, 3:6, None, None]
+    else:
+        m = jnp.broadcast_to(
+            jnp.asarray(mean, jnp.float32).reshape(-1)[:3], (3,)
+        )[None, :, None, None]
+        s = jnp.broadcast_to(
+            jnp.asarray(stddev, jnp.float32).reshape(-1)[:3], (3,)
+        )[None, :, None, None]
+    return (out - m) / (s + EPS)
