@@ -58,9 +58,12 @@ from ..resize import _linear_weights
 EPS = 1e-6
 
 _LANE = 128
-# Source rows per DMA chunk (u8 sublane tile = 32; 64 keeps the
-# out-row window small so the vertical matmuls stay near the band).
-_CHUNK = 64
+# Source rows per DMA chunk (u8 sublane tile = 32).  Large chunks
+# amortise the per-grid-step issue overhead (~1-2 us) that otherwise
+# dominates: at 1080p a 64-row chunk is only ~0.4 MB / ~0.8 us of HBM
+# traffic.  128 rows keeps the widen temporaries + _NBUF buffers under
+# the VMEM budget while halving the step count.
+_CHUNK = 128
 _VMEM_BUDGET = int(14.5 * 1024 * 1024)
 # DMA pipeline depth (outstanding HBM->VMEM chunk copies).
 _NBUF = 4
@@ -190,7 +193,7 @@ def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
     vmem = (
         oh * w3 * 4                      # f32 accumulator
         + _NBUF * rows * w3              # pipelined u8 chunk buffers
-        + rows * w3 * 6                  # widen temporaries (f32+bf16)
+        + rows * w3 * 4                  # widen temporaries (i16+bf16)
         + row_win * rows * 2 * 2         # wy block (+pipeline copy)
         + wx.size * 2                    # wx bands (bf16, hi half)
         + oh * op3 * 4                   # out block
@@ -272,10 +275,9 @@ def _kernel(
     # window.  u8 is exact in bf16 (≤8 significand bits); Mosaic has
     # no direct u8→float cast, so widen via int32.
     if stage >= 1:
-        chunk = (
-            buf[step % _NBUF].astype(jnp.int32).astype(jnp.float32)
-            .astype(jnp.bfloat16)
-        )
+        # u8→i16→bf16 is the cheapest exact widen Mosaic lowers
+        # (no direct u8→float cast); u8 ≤ 255 is exact in bf16.
+        chunk = buf[step % _NBUF].astype(jnp.int16).astype(jnp.bfloat16)
     if stage >= 2:
         part = _dot(wy_ref[0, 0, 0], chunk)
         if precise:
