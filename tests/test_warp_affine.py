@@ -118,3 +118,47 @@ def test_border_value_nonzero(bgr_640x360):
         borderValue=(17.0, 17.0, 17.0),
     )
     np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.float32])
+def test_nearest_vs_opencv(bgr_640x360, dtype):
+    # Reference served INTER_NEAREST through its OpenCV fallback
+    # (warp_affine.cpp:114-119); we implement it natively.
+    m = np.array([[0.7, 0.1, 20.0], [-0.1, 0.7, 30.0]], np.float32)
+    src = bgr_640x360.astype(dtype)
+    ref = cv2.warpAffine(
+        src, m.astype(np.float64), (256, 200), flags=cv2.INTER_NEAREST,
+        borderMode=cv2.BORDER_CONSTANT,
+    )
+    out = vc.warp_affine(src, m, (256, 200), flags=vc.INTER_NEAREST).numpy()
+    # coordinate rounding sits on half-integer knife edges for a few
+    # pixels; everything else must agree exactly
+    assert (out != ref).mean() < 5e-3
+    assert abs(cosine_similarity(out, ref) - 1) < 1e-4
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.float32])
+def test_cubic_vs_opencv(bgr_640x360, dtype):
+    m = np.array([[0.7, 0.1, 20.0], [-0.1, 0.7, 30.0]], np.float32)
+    src = bgr_640x360.astype(dtype)
+    ref = cv2.warpAffine(
+        src, m.astype(np.float64), (256, 200), flags=cv2.INTER_CUBIC,
+        borderMode=cv2.BORDER_CONSTANT,
+    )
+    out = vc.warp_affine(src, m, (256, 200), flags=vc.INTER_CUBIC).numpy()
+    # OpenCV quantizes fractional offsets to 1/32 (INTER_BITS=5); we use
+    # exact float offsets — cosine bar, not bit parity.
+    assert abs(cosine_similarity(out, ref) - 1) < 1e-4
+
+
+def test_cubic_replicate_vs_opencv(bgr_640x360):
+    m = np.array([[0.9, 0.2, -40.0], [-0.2, 0.9, 10.0]], np.float32)
+    ref = cv2.warpAffine(
+        bgr_640x360, m.astype(np.float64), (320, 240), flags=cv2.INTER_CUBIC,
+        borderMode=cv2.BORDER_REPLICATE,
+    )
+    out = vc.warp_affine(
+        bgr_640x360, m, (320, 240), flags=vc.INTER_CUBIC,
+        border_mode=vc.BORDER_REPLICATE,
+    ).numpy()
+    assert abs(cosine_similarity(out, ref) - 1) < 1e-4

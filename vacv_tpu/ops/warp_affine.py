@@ -77,8 +77,21 @@ def _quantize_q11(w):
     return jnp.floor(w * _COEF_SCALE + 0.5) / _COEF_SCALE
 
 
+def _cubic_coefs(frac):
+    """jnp 4-tap A=-0.75 cubic weights for fractional offset ``frac``
+    (same kernel as resize's ``_cubic_kernel``; OpenCV interpolateCubic)."""
+    A = jnp.float32(-0.75)
+    f0 = frac + 1.0
+    f2 = 1.0 - frac
+    c0 = A * f0**3 - 5 * A * f0**2 + 8 * A * f0 - 4 * A
+    c1 = (A + 2) * frac**3 - (A + 3) * frac**2 + 1
+    c2 = (A + 2) * f2**3 - (A + 3) * f2**2 + 1
+    return c0, c1, c2, 1.0 - c0 - c1 - c2
+
+
 def _warp_planes(planes, minv: np.ndarray, h_out: int, w_out: int, *, u8: bool,
-                 border_value: float, edge_mode: str, replicate: bool = False):
+                 border_value: float, edge_mode: str, replicate: bool = False,
+                 interp: InterMode = InterMode.INTER_LINEAR):
     """Warp (..., h_in, w_in) f32 planes with inverse matrix ``minv``.
 
     ``edge_mode``:
@@ -89,6 +102,10 @@ def _warp_planes(planes, minv: np.ndarray, h_out: int, w_out: int, *, u8: bool,
       inside ``[0, w-2]×[0, h-2]`` gets the border value outright —
       the reference's skip-and-leave-zero semantics
       (warp_affine_naive.cpp:26-38).
+
+    ``interp``: INTER_LINEAR (reference-native), INTER_NEAREST and
+    INTER_CUBIC (the reference served these through its OpenCV
+    fallback, warp_affine.cpp:114-119 → warp_affine_opencv).
     """
     h_in, w_in = planes.shape[-2], planes.shape[-1]
     m = [float(v) for v in np.asarray(minv, dtype=np.float32).ravel()]
@@ -107,17 +124,6 @@ def _warp_planes(planes, minv: np.ndarray, h_out: int, w_out: int, *, u8: bool,
     sx = sx.astype(jnp.int32)
     sy = sy.astype(jnp.int32)
 
-    if u8:
-        # cbuf[0] = SAT(round((1-f)*2048)); cbuf[1] = 2048 - cbuf[0]
-        # (warp_affine_naive.cpp:31-41).
-        wx0 = _quantize_q11(1.0 - ax)
-        wx1 = 1.0 - wx0
-        wy0 = _quantize_q11(1.0 - ay)
-        wy1 = 1.0 - wy0
-    else:
-        wx0, wx1 = 1.0 - ax, ax
-        wy0, wy1 = 1.0 - ay, ay
-
     # Flattened gathers, one per tap, each tap's coordinates clamped
     # individually; indices (h_out*w_out,) shared across channels.
     flat = planes.reshape(planes.shape[:-2] + (h_in * w_in,))
@@ -135,6 +141,38 @@ def _warp_planes(planes, minv: np.ndarray, h_out: int, w_out: int, *, u8: bool,
             return vals
         ok = (tx >= 0) & (tx <= w_in - 1) & (ty >= 0) & (ty <= h_in - 1)
         return jnp.where(ok, vals, bv)
+
+    if interp == InterMode.INTER_NEAREST:
+        # OpenCV warpAffine INTER_NEAREST rounds the fixed-point source
+        # coordinate half-up ((X0 + 512) >> 10 at AB_BITS=10).
+        return tap(
+            jnp.floor(fx + 0.5).astype(jnp.int32),
+            jnp.floor(fy + 0.5).astype(jnp.int32),
+        )
+
+    if interp == InterMode.INTER_CUBIC:
+        # 4×4 A=-0.75 taps, each border-handled individually (OpenCV
+        # BORDER_CONSTANT/REPLICATE bicubic warp semantics).
+        cx = _cubic_coefs(ax)
+        cy = _cubic_coefs(ay)
+        out = jnp.float32(0.0)
+        for i in range(4):
+            row = jnp.float32(0.0)
+            for j in range(4):
+                row = row + tap(sx - 1 + j, sy - 1 + i) * cx[j]
+            out = out + row * cy[i]
+        return out
+
+    if u8:
+        # cbuf[0] = SAT(round((1-f)*2048)); cbuf[1] = 2048 - cbuf[0]
+        # (warp_affine_naive.cpp:31-41).
+        wx0 = _quantize_q11(1.0 - ax)
+        wx1 = 1.0 - wx0
+        wy0 = _quantize_q11(1.0 - ay)
+        wy1 = 1.0 - wy0
+    else:
+        wx0, wx1 = 1.0 - ax, ax
+        wy0, wy1 = 1.0 - ay, ay
 
     p00 = tap(sx, sy)
     p01 = tap(sx + 1, sy)
@@ -175,8 +213,14 @@ def warp_affine(
     flags = int(flags)
     inverse = bool(flags & InterMode.WARP_INVERSE_MAP)
     interp = InterMode(flags & ~int(InterMode.WARP_INVERSE_MAP))
-    if interp != InterMode.INTER_LINEAR:
-        raise NotImplementedError("warp_affine supports INTER_LINEAR only")
+    if interp not in (
+        InterMode.INTER_LINEAR,
+        InterMode.INTER_NEAREST,
+        InterMode.INTER_CUBIC,
+    ):
+        raise NotImplementedError(
+            "warp_affine supports INTER_LINEAR/INTER_NEAREST/INTER_CUBIC"
+        )
     border_mode = BorderMode(border_mode)
     if border_mode not in (BorderMode.BORDER_CONSTANT, BorderMode.BORDER_REPLICATE):
         raise NotImplementedError(
@@ -203,7 +247,8 @@ def warp_affine(
     # OpenCV border-constant semantics, u8 or f32).
     use_kernel = False
     if (
-        not replicate
+        interp == InterMode.INTER_LINEAR
+        and not replicate
         and edge_mode == "opencv"
         and data.dtype in (jnp.uint8, jnp.float32)
     ):
@@ -228,10 +273,16 @@ def warp_affine(
     out = _warp_planes(
         planes.astype(jnp.float32), minv, dsize.h, dsize.w, u8=is_u8,
         border_value=bv, edge_mode=edge_mode, replicate=replicate,
+        interp=interp,
     )
     if is_u8:
-        # Q22 truncation parity (warp_affine_naive.cpp:50-54).
-        out = jnp.clip(jnp.floor(out + 1e-4), 0, 255).astype(jnp.uint8)
+        if interp == InterMode.INTER_LINEAR:
+            # Q22 truncation parity (warp_affine_naive.cpp:50-54).
+            out = jnp.clip(jnp.floor(out + 1e-4), 0, 255).astype(jnp.uint8)
+        else:
+            # Nearest/cubic have no vacv-native u8 path; match OpenCV's
+            # saturate_cast round-to-nearest instead.
+            out = jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
     elif data.dtype != jnp.float32:
         out = out.astype(data.dtype)  # f16/bf16 passthrough
 
