@@ -50,7 +50,8 @@ def _quantize_q11(w):
     return jnp.floor(w * _COEF_SCALE + 0.5) / _COEF_SCALE
 
 
-def _kernel(src_ref, out_ref, *, m, h_in, w_in, t, l, bh, bw, rh, cw, u8, bv):
+def _kernel(src_ref, out_ref, *, m, h_in, w_in, t, l, bh, bw, rh, cw, u8, bv,
+            cs):
     ty = pl.program_id(1)
     tx = pl.program_id(2)
 
@@ -106,10 +107,20 @@ def _kernel(src_ref, out_ref, *, m, h_in, w_in, t, l, bh, bw, rh, cw, u8, bv):
     c0 = pl.multiple_of(c0, 128)
 
     def load_band(row_start, nrows):
-        b = src_ref[0, pl.ds(row_start, nrows), pl.ds(c0, bw)]
-        return b.astype(jnp.int32).astype(jnp.float32) if u8 else b.astype(
-            jnp.float32
-        )
+        # All cs channels stacked along the row (M) axis: the selection
+        # dots then run at M = cs*rh, and the coordinate/selection
+        # fields are built once for every channel.
+        def one(ci):
+            b = src_ref[ci, pl.ds(row_start, nrows), pl.ds(c0, bw)]
+            return (
+                b.astype(jnp.int32).astype(jnp.float32)
+                if u8
+                else b.astype(jnp.float32)
+            )
+
+        if cs == 1:
+            return one(0)
+        return jnp.concatenate([one(ci) for ci in range(cs)], axis=0)
 
     # Second-level column narrowing: the tile's x taps span only
     # ~|m0|*l + |m1|*t columns; c0 is 128-aligned so up to 127 of the
@@ -170,33 +181,32 @@ def _kernel(src_ref, out_ref, *, m, h_in, w_in, t, l, bh, bw, rh, cw, u8, bv):
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    dd = jax.lax.broadcasted_iota(jnp.int32, (rh, l), 0) + ry0
     wx0v = wx0 * x0_ok  # (1, t*l)
     wx1v = wx1 * x1_ok
     wy0v = wy0 * y0_ok
     wy1v = wy1 * y1_ok
     backfill = (1.0 - wsum) * border
 
-    for trow in range(t):
-        s = slice(trow * l, (trow + 1) * l)  # 128-aligned lane slice
-        hrows = wx0v[:, s] * p0cat[:, s] + wx1v[:, s] * p1cat[:, s]
+    # Vertical 2-tap select as a single iota-compare weight field over
+    # the full (rh, t*l) block — shared by every channel; the whole
+    # vertical pass is one VPU multiply+reduce per channel, no per-row
+    # loop.
+    dd = jax.lax.broadcasted_iota(jnp.int32, (rh, t * l), 0) + ry0
+    wv = jnp.where(dd == sy_rel, wy0v, 0.0) + jnp.where(
+        dd == sy_rel + 1, wy1v, 0.0
+    )
 
-        syr = sy_rel[:, s]  # (1, l)
-        # Vertical 2-tap select as an iota-compare weight field over the
-        # sliced band rows — a pure VPU reduction, no per-row loop or
-        # gather.  Row ids are offset by the slice start.
-        wv = jnp.where(dd == syr, wy0v[:, s], 0.0) + jnp.where(
-            dd == syr + 1, wy1v[:, s], 0.0
-        )
-        acc = jnp.sum(wv * hrows, axis=0, keepdims=True)
-        acc = acc + backfill[:, s]
+    for ci in range(cs):
+        rs = slice(ci * rh, (ci + 1) * rh)  # 8-aligned static row slice
+        hrows = wx0v * p0cat[rs] + wx1v * p1cat[rs]
+        acc = jnp.sum(wv * hrows, axis=0, keepdims=True) + backfill
 
         if u8:
             # Q22 truncation; no direct f32->u8 cast on Mosaic — via i32.
             acc = jnp.clip(jnp.floor(acc + 1e-4), 0, 255)
-            out_ref[0, trow, :] = acc[0].astype(jnp.int32).astype(jnp.uint8)
-        else:
-            out_ref[0, trow, :] = acc[0]
+            acc = acc.astype(jnp.int32).astype(jnp.uint8)
+        for trow in range(t):
+            out_ref[ci, trow, :] = acc[0, trow * l : (trow + 1) * l]
 
 
 def _round_up(x, m):
@@ -244,34 +254,48 @@ def _call(planes, *, m, h_out, w_out, u8, bv, interpret):
         planes = jnp.pad(
             planes, ((0, 0), (0, h_pad - h_in), (0, w_pad - w_in))
         )
-    # Tile height: taller tiles amortize per-tile grid overheads
-    # (measured 1.4 -> 0.97 ms at 1080p going 8 -> 32 rows), but the
-    # selection fields and sample matrices scale with t*l — back off
-    # for wide-band (strong downscale / large rotation) warps so the
-    # working set stays within VMEM.
-    for t in (32, 16, 8):
+    # Channel stacking: when every plane fits VMEM together, process
+    # all c channels per grid step with the bands stacked along the
+    # dot's M axis — 3x fewer selection-field builds and a taller,
+    # better-utilized MXU M dimension.
+    itemsize = 1 if u8 else 4
+    cs = c if c * h_pad * w_pad * itemsize <= _PLANE_BUDGET else 1
+
+    # Tile height: the per-tile row band rh ~ |m3|*l + |m4|*t grows
+    # with t, and total selection-dot MACs scale with rh — so prefer
+    # the SMALLEST tile that keeps per-tile overheads amortized (t=8
+    # minimizes MACs; with the vertical pass vectorized and fields
+    # shared across channels the old tall-tile advantage is gone).
+    # Back off to taller tiles only if t=8 somehow exceeds VMEM (it
+    # cannot: work shrinks with t).
+    for t in (8, 16, 32):
         bh, bw, rh, cw = _band_sizes(m, t, l, h_pad, w_pad)
-        work = 2 * cw * t * l * (2 if u8 else 4) + 2 * rh * t * l * 4
-        if work <= 6 * 1024 * 1024 or t == 8:
+        work = (
+            2 * cw * t * l * (2 if u8 else 4)  # F/F1 fields
+            + 2 * cs * rh * t * l * 4  # p0cat/p1cat
+            + rh * t * l * 4  # wv
+            + cs * rh * bw * 4  # band
+        )
+        if work + c * h_pad * w_pad * itemsize <= 12 * 1024 * 1024:
             break
     hp = pl.cdiv(h_out, t) * t
     wp = pl.cdiv(w_out, l) * l
-    grid = (c, hp // t, wp // l)
+    grid = (c // cs, hp // t, wp // l)
     kernel = functools.partial(
         _kernel, m=m, h_in=h_in, w_in=w_in, t=t, l=l, bh=bh, bw=bw, rh=rh,
-        cw=cw, u8=u8, bv=bv,
+        cw=cw, u8=u8, bv=bv, cs=cs,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, h_pad, w_pad), lambda ci, ty, tx: (ci, 0, 0),
+                (cs, h_pad, w_pad), lambda ci, ty, tx: (ci, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, t, l), lambda ci, ty, tx: (ci, ty, tx),
+            (cs, t, l), lambda ci, ty, tx: (ci, ty, tx),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
