@@ -88,3 +88,47 @@ def test_pallas_kernel_matches_jnp(bgr_176x144):
     out = nv_to_bgr_pallas(yj, vuj, is_nv12=False)
     for o, r in zip(out, ref):
         np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
+
+
+# ---- odd-geometry NV frames (reference zerobuf trick, cvt_color.cpp:52-66)
+
+
+@pytest.mark.parametrize("h,w", [(175, 144), (143, 176), (359, 640)])
+def test_nv21_odd_height_bit_exact(rng, h, w):
+    from conftest import make_bgr
+
+    bgr = make_bgr(h, w, rng, smooth=True)
+    nv21 = bgr2nv21_numpy(bgr)
+    buf = nv21.reshape(h + (h + 1) // 2, w)
+    y, vu = nv21_planes(nv21, w, h)
+    ref = nv_to_bgr(y, vu, is_nv12=False)
+    out = vc.cvt_color(buf, vc.COLOR_YUV2BGR_NV21)
+    np.testing.assert_array_equal(np.asarray(out.data), ref)
+    assert out.data.shape == (h, w, 3)
+
+
+def test_nv21_odd_height_pallas_interpret(rng):
+    """The pallas kernel path (interpret on CPU) matches the oracle on
+    an odd-height frame."""
+    import jax.numpy as jnp
+
+    from conftest import make_bgr
+    from vacv_tpu import config
+    from vacv_tpu.ops.pallas.yuv2bgr import nv_to_bgr_pallas
+
+    h, w = 175, 144
+    bgr = make_bgr(h, w, rng, smooth=True)
+    nv21 = bgr2nv21_numpy(bgr)
+    y, vu = nv21_planes(nv21, w, h)
+    ref = nv_to_bgr(y, vu, is_nv12=False)
+    with config.backend("pallas"):
+        b, g, r = nv_to_bgr_pallas(
+            jnp.asarray(y), jnp.asarray(vu), is_nv12=False
+        )
+    got = np.stack([np.asarray(b), np.asarray(g), np.asarray(r)], axis=-1)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_nv_odd_width_rejected(rng):
+    with pytest.raises(ValueError):
+        vc.cvt_color(np.zeros((36, 25), np.uint8), vc.COLOR_YUV2BGR_NV21)

@@ -1,0 +1,109 @@
+"""Pipeline → kernel routing: with the pallas backend forced, the
+Preprocessor must serve supported configs from the fused Pallas
+preprocess kernel (and the normalize dispatcher must reach the fused
+normalize kernel) without the caller opting in.  Counters in
+``vacv_tpu.config`` record which backend served each op at trace time.
+"""
+import numpy as np
+import pytest
+
+import vacv_tpu as vc
+from vacv_tpu import config
+from vacv_tpu.models import PreprocessConfig, Preprocessor
+
+H, W = 256, 384  # W*3 = 1152 lanes — fused-plan eligible
+CFG = PreprocessConfig(
+    crop_rect=vc.VRect(16, 8, 16 + 352, 8 + 240),
+    out_size=(112, 112),
+    out_layout=vc.CHW,
+    normalize=True,
+)
+
+
+def make(rng, n=0):
+    shape = (H, W, 3) if n == 0 else (n, H, W, 3)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def test_single_image_routes_to_fused_kernel(rng):
+    with config.backend("pallas"):
+        pre = Preprocessor(CFG)
+        before = config.kernel_count("preprocess_fused")
+        out = np.asarray(pre(make(rng)))
+        assert config.kernel_count("preprocess_fused") > before
+    assert out.shape == (3, 112, 112)
+    # parity vs the jnp chain
+    with config.backend("jnp"):
+        ref = np.asarray(Preprocessor(CFG)(make(np.random.default_rng(1234))))
+    # same rng stream reproduction: rebuild input deterministically
+    rng2 = np.random.default_rng(99)
+    x = make(rng2)
+    with config.backend("pallas"):
+        got = np.asarray(Preprocessor(CFG)(x))
+    with config.backend("jnp"):
+        want = np.asarray(Preprocessor(CFG)(x))
+    np.testing.assert_allclose(got, want, atol=5e-2)
+
+
+def test_batch_routes_to_fused_kernel(rng):
+    x = make(rng, n=3)
+    with config.backend("pallas"):
+        pre = Preprocessor(CFG)
+        before = config.kernel_count("preprocess_fused")
+        out = np.asarray(pre.batch(x))
+        assert config.kernel_count("preprocess_fused") > before
+    with config.backend("jnp"):
+        want = np.asarray(Preprocessor(CFG).batch(x))
+    assert out.shape == want.shape == (3, 3, 112, 112)
+    np.testing.assert_allclose(out, want, atol=5e-2)
+
+
+def test_unsupported_shape_falls_back(rng):
+    # 200x300: 300*3=900 lanes (not a multiple of 128) -> jnp chain.
+    x = rng.integers(0, 256, size=(200, 300, 3), dtype=np.uint8)
+    cfg = PreprocessConfig(out_size=(64, 64))
+    with config.backend("pallas"):
+        pre = Preprocessor(cfg)
+        assert pre._fused_geometry(x.shape, x.dtype) is None
+        out = np.asarray(pre(x))
+    assert out.shape == (3, 64, 64)
+
+
+def test_unsupported_mode_falls_back(rng):
+    x = make(rng)
+    cfg = PreprocessConfig(
+        out_size=(64, 64), interpolation=vc.INTER_CUBIC
+    )
+    with config.backend("pallas"):
+        pre = Preprocessor(cfg)
+        assert pre._fused_geometry(x.shape, x.dtype) is None
+
+
+def test_explicit_stats_route_through_fused(rng):
+    x = make(rng)
+    cfg = PreprocessConfig(
+        crop_rect=CFG.crop_rect,
+        out_size=(112, 112),
+        mean=(104.0, 117.0, 123.0),
+        stddev=(57.1, 57.4, 58.4),
+    )
+    with config.backend("pallas"):
+        pre = Preprocessor(cfg)
+        assert pre._fused_geometry(x.shape, x.dtype) is not None
+        got = np.asarray(pre(x))
+    with config.backend("jnp"):
+        want = np.asarray(Preprocessor(cfg)(x))
+    np.testing.assert_allclose(got, want, atol=5e-2)
+
+
+def test_normalize_dispatcher_reaches_pallas_kernel(rng):
+    """Standalone normalize (dispatcher) serves the fused kernel."""
+    x = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    with config.backend("pallas"):
+        before = config.kernel_count("normalize_fused")
+        out = vc.normalize(x)
+        assert config.kernel_count("normalize_fused") > before
+    ref = vc.normalize(x)  # auto backend on CPU = jnp
+    np.testing.assert_allclose(
+        np.asarray(out.data), np.asarray(ref.data), atol=1e-4
+    )

@@ -1,0 +1,130 @@
+"""Differential tests for the fused Pallas preprocess kernel.
+
+``preprocess_fused_batch`` (crop -> bilinear resize -> CHW f32 ->
+normalize in one HBM pass) vs the jnp pipeline built from the same
+dispatcher ops: crop -> resize(u8, Q11 trunc) -> CHW -> f32 ->
+normalize_jnp.  On CPU the kernel runs in interpret mode with
+``precise=True`` (Dekker-split bf16 matmuls, exact to f32
+accumulation); parity bar is <=1 u8 LSB on the resized pixels and
+cosine >= 1-1e-6 end-to-end.
+
+Reference parity anchors: crop.cpp:127-131 (rect), resize_naive.cpp:
+10-68 (Q11 bilinear), normalize.cpp:84-120 (normalize chain).
+"""
+import numpy as np
+import pytest
+
+import vacv_tpu as vc
+from vacv_tpu.core.types import Layout
+from vacv_tpu.ops.crop import crop
+from vacv_tpu.ops.normalize import normalize_jnp
+from vacv_tpu.ops.pallas.preprocess import plan_supported, preprocess_fused_batch
+from vacv_tpu.ops.resize import resize
+from vacv_tpu.utils.compare import cosine_similarity
+
+H, W = 360, 640  # W*3 = 1920 lanes (mult of 128)
+RECT = vc.VRect(17, 20, 17 + 600, 20 + 320)  # left, top, right, bottom
+OUT = (112, 96)  # (w, h)
+
+
+def make_batch(rng, n=2, h=H, w=W):
+    return rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+
+
+def jnp_pipeline(batch, rect, out_size, mean=None, stddev=None, normalize=True):
+    """Per-image jnp reference chain over the batch."""
+    outs = []
+    ow, oh = out_size
+    for i in range(batch.shape[0]):
+        img = vc.Image(batch[i], Layout.HWC)
+        if rect is not None:
+            img = crop(img, rect)
+        img = resize(img, (ow, oh))  # u8 in/out, Q11 trunc parity
+        img = img.change_layout(vc.CHW).change_dtype("float32")
+        if normalize:
+            img = normalize_jnp(img, mean, stddev)
+        outs.append(np.asarray(img.data))
+    return np.stack(outs)
+
+
+def test_plan_supported_bench_config():
+    # The headline bench shape must be in-plan.
+    assert plan_supported(1080, 1920, 64, 1792, 1036, 224, 224)
+
+
+def test_plan_rejects_unsupported():
+    # width not a multiple of 128 lanes after interleave
+    assert not plan_supported(360, 630, 0, 630, 360, 224, 224)
+    # crop height below one DMA chunk
+    assert not plan_supported(360, 640, 0, 640, 96, 64, 64)
+    with pytest.raises(ValueError):
+        preprocess_fused_batch(
+            np.zeros((1, 360, 630, 3), np.uint8), None, (224, 224)
+        )
+
+
+def test_fused_matches_jnp_pipeline(rng):
+    batch = make_batch(rng)
+    got = np.asarray(
+        preprocess_fused_batch(batch, RECT, OUT, precise=True)
+    )
+    want = jnp_pipeline(batch, RECT, OUT)
+    assert got.shape == want.shape == (2, 3, OUT[1], OUT[0])
+    assert abs(cosine_similarity(got, want) - 1) < 1e-6
+    assert np.max(np.abs(got - want)) < 0.05  # normalized units
+
+
+def test_fused_resize_only_lsb_parity(rng):
+    """normalize=False exposes the raw truncated resize values."""
+    batch = make_batch(rng, n=1)
+    got = np.asarray(
+        preprocess_fused_batch(batch, RECT, OUT, precise=True, normalize=False)
+    )
+    want = jnp_pipeline(batch, RECT, OUT, normalize=False)
+    assert np.max(np.abs(got - want)) <= 1.0  # <=1 u8 LSB at floor boundaries
+    assert (np.abs(got - want) > 0).mean() < 1e-3
+
+
+def test_fused_full_frame_no_crop(rng):
+    batch = make_batch(rng, n=1, h=256, w=384)  # 384*3=1152 lanes
+    got = np.asarray(
+        preprocess_fused_batch(batch, None, (128, 128), precise=True)
+    )
+    want = jnp_pipeline(batch, None, (128, 128))
+    assert abs(cosine_similarity(got, want) - 1) < 1e-6
+
+
+def test_fused_explicit_stats(rng):
+    batch = make_batch(rng, n=1)
+    mean = (104.0, 117.0, 123.0)
+    stddev = (57.1, 57.4, 58.4)
+    got = np.asarray(
+        preprocess_fused_batch(
+            batch, RECT, OUT, mean=mean, stddev=stddev, precise=True
+        )
+    )
+    want = jnp_pipeline(batch, RECT, OUT, mean=mean, stddev=stddev)
+    assert abs(cosine_similarity(got, want) - 1) < 1e-6
+    assert np.max(np.abs(got - want)) < 0.05
+
+
+def test_fused_runtime_top(rng):
+    """A traced ``top`` must give the same result as the static rect."""
+    batch = make_batch(rng, n=1)
+    static = np.asarray(
+        preprocess_fused_batch(batch, RECT, OUT, precise=True)
+    )
+    dynamic = np.asarray(
+        preprocess_fused_batch(
+            batch, RECT, OUT, top=np.int32(int(RECT.top)), precise=True
+        )
+    )
+    np.testing.assert_array_equal(static, dynamic)
+    # A different runtime top equals the jnp pipeline with that rect.
+    top2 = 13
+    rect2 = vc.VRect(RECT.left, top2, RECT.right, top2 + 320)
+    moved = np.asarray(
+        preprocess_fused_batch(batch, RECT, OUT, top=np.int32(top2), precise=True)
+    )
+    want = jnp_pipeline(batch, rect2, OUT)
+    assert abs(cosine_similarity(moved, want) - 1) < 1e-6

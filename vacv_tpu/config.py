@@ -57,6 +57,23 @@ def pallas_interpret() -> bool:
     return not on_tpu()
 
 
+# --- kernel-path observability ------------------------------------
+# Trace-time counters recording which backend actually served each op
+# (the reference's analogue is its compile-time USE_NEON/USE_CUDA
+# selection being visible in the binary).  Tests assert the pallas
+# path is taken where promised; `kernel_count` reads, `record_kernel`
+# is called by each pallas kernel entry at trace time.
+_KERNEL_COUNTS: dict[str, int] = {}
+
+
+def record_kernel(name: str) -> None:
+    _KERNEL_COUNTS[name] = _KERNEL_COUNTS.get(name, 0) + 1
+
+
+def kernel_count(name: str) -> int:
+    return _KERNEL_COUNTS.get(name, 0)
+
+
 @contextmanager
 def backend(name: str):
     """Temporarily override the backend preference."""

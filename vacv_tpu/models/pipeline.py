@@ -15,19 +15,20 @@ dtype widen, and normalize run out of VMEM.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 
+from .. import config
 from ..core.image import Image
 from ..core.types import ColorCode, InterMode, Layout, VRect
 from ..ops.crop import crop
 from ..ops.cvt_color import cvt_color
-from ..ops.normalize import normalize_jnp
+from ..ops.normalize import normalize
 from ..ops.resize import resize
-from ..parallel.mesh import make_mesh
-from ..parallel.pipeline import shard_batched
+from ..parallel.mesh import DATA_AXIS, make_mesh
 
 
 def _decode_color(img: Image, code) -> Image:
@@ -102,13 +103,95 @@ class Preprocessor:
             img = img.change_layout(cfg.out_layout)
             img = img.change_dtype(jnp.float32)
             if cfg.normalize:
-                img = normalize_jnp(img, cfg.mean, cfg.stddev)
+                # Dispatcher call: picks the fused pallas normalize
+                # where it applies, jnp otherwise (normalize.py:57-69).
+                img = normalize(img, cfg.mean, cfg.stddev)
             return img.data
 
         return run
 
+    # -- fused-kernel routing -------------------------------------
+    def _fused_geometry(self, shape, dtype):
+        """(left, top, cw, ch, oh, ow) when the whole pipeline can run
+        as ONE fused Pallas kernel for this input shape, else None.
+
+        The fused kernel covers the reference's flagship chain
+        (crop → bilinear resize → CHW f32 → normalize — BASELINE
+        config 4); anything else uses the XLA-fused jnp chain.
+        """
+        cfg = self.cfg
+        if not config.use_pallas():
+            return None
+        if (
+            cfg.color_code is not None
+            or cfg.warp is not None
+            or cfg.out_size is None
+            or InterMode(cfg.interpolation) != InterMode.INTER_LINEAR
+            or cfg.out_layout != Layout.CHW
+        ):
+            return None
+        if len(shape) != 3 or shape[-1] != 3 or dtype != jnp.uint8:
+            return None
+        h, w, _ = shape
+        if cfg.crop_rect is None:
+            left, top, cw, ch = 0, 0, w, h
+        else:
+            left, top, cw, ch = cfg.crop_rect.int_bounds()
+        ow, oh = int(cfg.out_size[0]), int(cfg.out_size[1])
+        from ..ops.pallas.preprocess import plan_supported
+
+        if not plan_supported(h, w, left, cw, ch, oh, ow):
+            return None
+        return (left, top, cw, ch, oh, ow)
+
+    def _run_fused(self, batch, geom):
+        from ..ops.pallas.preprocess import preprocess_fused_batch
+
+        cfg = self.cfg
+        left, top, cw, ch, oh, ow = geom
+        rect = VRect(left, top, left + cw, top + ch)
+        return preprocess_fused_batch(
+            batch,
+            rect,
+            (ow, oh),
+            mean=cfg.mean,
+            stddev=cfg.stddev,
+            normalize=cfg.normalize,
+            # interpret mode (CPU tests) wants the Dekker-exact path;
+            # on TPU plain bf16 matches the jnp chain's MXU numerics.
+            precise=config.pallas_interpret(),
+        )
+
+    def _batch_fn(self):
+        """Traceable (N, ...) batch function: fused kernel when the
+        config+shape plan allows, vmapped per-image chain otherwise."""
+        per_image = self._build()
+
+        def run_batch(batch):
+            geom = self._fused_geometry(batch.shape[1:], batch.dtype)
+            if geom is not None:
+                return self._run_fused(batch, geom)
+            return jax.vmap(per_image)(batch)
+
+        return run_batch
+
     def __call__(self, arr):
+        geom = self._fused_geometry(arr.shape, getattr(arr, "dtype", None))
+        if geom is not None:
+            return self._fused_one(arr, geom)
         return self._fn(arr)
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _fused_one(self, arr, geom):
+        return self._run_fused(arr[None], geom)[0]
+
+    def batch(self, arr):
+        """Single-device batch call over (N, H, W, C) frames."""
+        return self._jit_batch(arr)
+
+    @functools.cached_property
+    def _jit_batch(self):
+        return jax.jit(self._batch_fn())
 
     @property
     def fn(self):
@@ -117,10 +200,21 @@ class Preprocessor:
 
     def batched(self, mesh=None):
         """Sharded batch version: (N, ...) with N split over the mesh's
-        data axis."""
+        data axis.  Each device runs the fused kernel on its shard when
+        the plan allows (decided at trace time from the shard shape)."""
         if mesh is None:
             mesh = make_mesh()
-        return shard_batched(self._build(), mesh)
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        smapped = shard_map(
+            self._batch_fn(),
+            mesh=mesh,
+            in_specs=P(DATA_AXIS),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+        return jax.jit(smapped)
 
 
 def slam_frontend_config() -> PreprocessConfig:

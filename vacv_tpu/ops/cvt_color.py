@@ -88,14 +88,23 @@ def _yuv_to_bgr_core(y_i32, v_full, u_full):
 
 def nv_to_bgr_planes_jnp(y_plane, vu_plane, *, is_nv12: bool):
     """Pure-jnp reference implementation (XLA fuses the whole thing
-    into one elementwise kernel over the planes)."""
+    into one elementwise kernel over the planes).
+
+    Odd Y heights are supported: the upsampled chroma (always an even
+    row count) is sliced to the Y height — the TPU form of the
+    reference's zerobuf/writebuf scratch-row trick for the final odd
+    row pair (cvt_color.cpp:52-66).
+    """
     y = y_plane.astype(jnp.int32)
+    h = y.shape[0]
     vu = vu_plane.astype(jnp.int32)
     if is_nv12:
         u_s, v_s = vu[:, 0::2], vu[:, 1::2]
     else:
         v_s, u_s = vu[:, 0::2], vu[:, 1::2]
-    return _yuv_to_bgr_core(y, _upsample2(v_s) - 128, _upsample2(u_s) - 128)
+    return _yuv_to_bgr_core(
+        y, _upsample2(v_s)[:h] - 128, _upsample2(u_s)[:h] - 128
+    )
 
 
 def cvt_color(src, code: ColorCode | int) -> Image:
@@ -154,6 +163,10 @@ def nv_decode_channels(data, code: ColorCode) -> list:
         raise ValueError(
             f"NV input must be the (h*3//2, w) stacked buffer, got {data.shape}"
         )
+    if data.shape[1] % 2:
+        raise ValueError("NV buffers need an even width (interleaved VU pairs)")
+    # Y-plane height: rows = h + ceil(h/2), so h = rows*2//3 for even
+    # AND odd heights (odd h: rows = (3h+1)/2, (3h+1)*2//(2*3) = h).
     full_h = data.shape[0] * 2 // 3
     b, g, r = nv_to_bgr_planes(data[:full_h], data[full_h:], is_nv12=is_nv12)
     chans = [r, g, b] if to_rgb else [b, g, r]

@@ -83,6 +83,7 @@ def normalize_fused_pallas(img: Image) -> Image:
         from ..normalize import normalize_jnp
 
         return normalize_jnp(img)
+    config.record_kernel("normalize_fused")
     out = _call(planes, interpret=config.pallas_interpret())
     if img.layout == Layout.HWC:
         out = jnp.transpose(out, (1, 2, 0))

@@ -437,6 +437,7 @@ def preprocess_fused_batch(
     ow, oh = int(out_size[0]), int(out_size[1])
     if _plan(h, w, left, cw, ch, oh, ow) is None:
         raise ValueError("config not supported by the fused kernel")
+    config.record_kernel("preprocess_fused")
     res, stats = _call(
         batch,
         top0 if top is None else top,
@@ -451,13 +452,18 @@ def preprocess_fused_batch(
     )
     if not normalize:
         return out
-    if mean is None and stddev is None:
+    # Per-channel stats from the kernel fill whichever side the caller
+    # didn't supply (the reference's empty-tensor convention, honored
+    # partially like normalize_jnp does).
+    if mean is None:
         m = stats[:, 0, 0:3, None, None]
-        s = stats[:, 0, 3:6, None, None]
     else:
         m = jnp.broadcast_to(
             jnp.asarray(mean, jnp.float32).reshape(-1)[:3], (3,)
         )[None, :, None, None]
+    if stddev is None:
+        s = stats[:, 0, 3:6, None, None]
+    else:
         s = jnp.broadcast_to(
             jnp.asarray(stddev, jnp.float32).reshape(-1)[:3], (3,)
         )[None, :, None, None]

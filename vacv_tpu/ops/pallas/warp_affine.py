@@ -314,6 +314,7 @@ def warp_affine_pallas(planes, minv, h_out: int, w_out: int, *, u8: bool,
     truncation).  Caller must have checked ``warp_supported``.
     """
     m = tuple(float(v) for v in np.asarray(minv, np.float32).ravel())
+    config.record_kernel("warp_affine")
     return _call(
         planes, m=m, h_out=h_out, w_out=w_out, u8=u8,
         bv=float(border_value), interpret=config.pallas_interpret(),

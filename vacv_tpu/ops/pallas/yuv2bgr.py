@@ -79,16 +79,19 @@ def _kernel(y_ref, vu_ref, b_ref, g_ref, r_ref, *, is_nv12: bool):
 @functools.partial(jax.jit, static_argnames=("is_nv12", "interpret"))
 def _call(y_plane, vu_plane, *, is_nv12: bool, interpret: bool):
     h, w = y_plane.shape
-    h2 = h // 2
+    h2 = (h + 1) // 2  # chroma rows; ceil covers odd Y heights
     t = min(128, h2)
     # The grid must divide evenly: pad the chroma-row axis up to a
-    # multiple of t (garbage rows are sliced off after the kernel).
+    # multiple of t (garbage rows are sliced off after the kernel —
+    # for odd h this includes the phantom last Y row, the TPU form of
+    # the reference's zerobuf/writebuf trick, cvt_color.cpp:52-66).
     h2p = pl.cdiv(h2, t) * t
     y2 = y_plane
     vu = vu_plane
-    if h2p != h2:
+    if 2 * h2p != h:
         y2 = jnp.pad(y2, ((0, 2 * h2p - h), (0, 0)))
-        vu = jnp.pad(vu, ((0, h2p - h2), (0, 0)))
+    if h2p != vu.shape[0]:
+        vu = jnp.pad(vu, ((0, h2p - vu.shape[0]), (0, 0)))
     grid = (h2p // t,)
     out_shape = jax.ShapeDtypeStruct((2 * h2p, w), jnp.uint8)
     kernel = functools.partial(_kernel, is_nv12=is_nv12)
@@ -110,6 +113,7 @@ def _call(y_plane, vu_plane, *, is_nv12: bool, interpret: bool):
 
 def nv_to_bgr_pallas(y_plane, vu_plane, *, is_nv12: bool):
     """(b, g, r) u8 planes from Y (h,w) + interleaved VU (h/2, w)."""
+    config.record_kernel("yuv2bgr")
     return _call(
         y_plane, vu_plane, is_nv12=is_nv12, interpret=config.pallas_interpret()
     )

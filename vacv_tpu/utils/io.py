@@ -47,11 +47,15 @@ def bgr2nv21_numpy(bgr: np.ndarray) -> np.ndarray:
     Q14 coefficients; V,U subsampled at even rows/cols, computed from
     (B - Y) and (R - Y) with the +128 offset, all right-shifted by 14
     with C unsigned-shift semantics (image_util.cpp:25-38).
-    Width and height must be even (the reference rejects odd sizes).
+
+    Width must be even (the VU interleave needs byte pairs); odd
+    heights produce ``ceil(h/2)`` chroma rows — the last chroma row
+    covers a single Y row, mirroring the reference decoder's
+    zerobuf/writebuf odd-height handling (cvt_color.cpp:52-66).
     """
     h, w, _ = bgr.shape
-    if h % 2 or w % 2:
-        raise ValueError("bgr2nv21 requires even width and height")
+    if w % 2:
+        raise ValueError("bgr2nv21 requires even width")
     b = bgr[..., 0].astype(np.uint32)
     g = bgr[..., 1].astype(np.uint32)
     r = bgr[..., 2].astype(np.uint32)
@@ -66,9 +70,10 @@ def bgr2nv21_numpy(bgr: np.ndarray) -> np.ndarray:
     u = ((b_s - y_s) * np.uint32(_B2U) + np.uint32(_OFFSET)) >> _SHIFT
     v = ((r_s - y_s) * np.uint32(_R2V) + np.uint32(_OFFSET)) >> _SHIFT
 
-    out = np.empty(h * w + (h // 2) * w, dtype=np.uint8)
+    ch = (h + 1) // 2  # chroma rows (ceil for odd heights)
+    out = np.empty(h * w + ch * w, dtype=np.uint8)
     out[: h * w] = y.astype(np.uint8).ravel()
-    vu = np.empty((h // 2, w), dtype=np.uint8)
+    vu = np.empty((ch, w), dtype=np.uint8)
     vu[:, 0::2] = v.astype(np.uint8)
     vu[:, 1::2] = u.astype(np.uint8)
     out[h * w :] = vu.ravel()
@@ -76,17 +81,20 @@ def bgr2nv21_numpy(bgr: np.ndarray) -> np.ndarray:
 
 
 def bgr2nv21(bgr: np.ndarray) -> np.ndarray:
-    """NV21 synthesis; native C++ fast path when available."""
-    try:
-        from ..native import bgr2nv21 as native_impl
+    """NV21 synthesis; native C++ fast path when available (even
+    heights only — odd heights use the numpy path)."""
+    if bgr.shape[0] % 2 == 0:
+        try:
+            from ..native import bgr2nv21 as native_impl
 
-        return native_impl(bgr)
-    except Exception:
-        return bgr2nv21_numpy(bgr)
+            return native_impl(bgr)
+        except Exception:
+            pass
+    return bgr2nv21_numpy(bgr)
 
 
 def nv21_planes(nv21: np.ndarray, w: int, h: int):
-    """Split a flat NV21 buffer into (Y:(h,w), VU:(h//2,w)) views."""
+    """Split a flat NV21 buffer into (Y:(h,w), VU:(ceil(h/2),w)) views."""
     y = nv21[: h * w].reshape(h, w)
-    vu = nv21[h * w :].reshape(h // 2, w)
+    vu = nv21[h * w :].reshape((h + 1) // 2, w)
     return y, vu
