@@ -80,7 +80,7 @@ def build_tests(sizes):
     from jax import lax
 
     from vacv_tpu.core.types import Layout
-    from vacv_tpu.ops.normalize import normalize_jnp
+    from vacv_tpu.ops.normalize import normalize
     from vacv_tpu.ops.resize import resize
 
     cv2.setNumThreads(1)
@@ -170,10 +170,10 @@ def build_tests(sizes):
             _pair(cv_cc, cc_step, (y_j, vu_j), ref_for_cosine=spec),
         ))
 
-        # ---- normalize (self-stats) ----
+        # ---- normalize (self-stats; dispatcher -> tiled pallas on TPU) ----
         def nm_step(i, b):
             win = lax.dynamic_slice(b, (i % 2, 0, 0), (b.shape[0]-2, b.shape[1], 3))
-            return normalize_jnp(vc.Image(win, Layout.HWC)).data
+            return normalize(vc.Image(win, Layout.HWC)).data
 
         def cv_norm(s=srcf, hh=h):
             ss = s[:hh-2]
@@ -189,24 +189,32 @@ def build_tests(sizes):
         m = np.array([[0.85, 0.05, w * 0.02], [-0.05, 0.85, h * 0.02]],
                      np.float32)
 
-        def wa_step(i, b, mm=m, hh=h, ww=w, win=window):
+        # 8-row-aligned anti-hoist window: the streaming (large-plane)
+        # warp kernel requires h % 8 == 0, which h-2 would break.
+        def wwin(b, i, hh=h, ww=w):
+            return lax.dynamic_slice(b, (8 * (i % 2), 0, 0), (hh - 8, ww, 3))
+
+        def wa_step(i, b, mm=m, hh=h, ww=w):
             return vc.warp_affine(
-                vc.Image(win(b, i), Layout.HWC), mm, (ww // 2, hh // 2)).data
+                vc.Image(wwin(b, i), Layout.HWC), mm, (ww // 2, hh // 2)).data
 
         tests.append(TestFuncInfo(
             f"warp_affine_{name}",
             _pair(
                 lambda s=src, mm=m, hh=h, ww=w: cv2.warpAffine(
-                    s[:hh-2], mm.astype(np.float64), (ww // 2, hh // 2)),
+                    s[:hh-8], mm.astype(np.float64), (ww // 2, hh // 2)),
                 wa_step, (srcj,),
             ),
         ))
     return tests
 
 
-def run_op_table(sizes=None):
+def run_op_table(sizes=None, reps=5):
     tests = build_tests(sizes or DEFAULT)
-    prof = CvProfile(k_test_times=1, k_log_batch_size=10)
+    # reps averages the host-side (OpenCV) samples like the reference's
+    # 10x loop (cv_profile.cpp:14); the device side is already a
+    # min-of-N loop-slope inside device_time, so compiles are reused.
+    prof = CvProfile(k_test_times=reps, k_log_batch_size=10)
     prof.profile(tests, verbose=False)
     ok = prof.print_results()
     prof.save_results("bench_ops.json")
@@ -219,7 +227,9 @@ if __name__ == "__main__":
                     help="full 176x144..2560x1440 ladder")
     ap.add_argument("--assets", default=None,
                     help="JPEG dir for real inputs (matched by size)")
+    ap.add_argument("--reps", type=int, default=5,
+                    help="repetitions per test (reference uses 10)")
     args = ap.parse_args()
     if args.assets:
         ASSETS_DIR = args.assets
-    run_op_table(LADDER if args.ladder else DEFAULT)
+    run_op_table(LADDER if args.ladder else DEFAULT, reps=args.reps)

@@ -76,3 +76,69 @@ def test_normalize_partial_stats(bgr_176x144):
     _, s = vc.mean_stddev(src)
     ref = (src - mean) / (np.asarray(s) + 1e-6)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+# ---- tiled pallas normalize kernel (any frame size, both layouts)
+
+
+@pytest.mark.parametrize("layout,shape", [
+    ("chw", (3, 300, 640)),    # multi-chunk planes, odd chunk tail
+    ("chw", (3, 64, 96)),      # single chunk
+    ("hwc", (300, 640, 3)),    # interleaved lanes, multi-chunk
+    ("hwc", (45, 33, 3)),      # odd lanes (99), odd rows
+])
+def test_pallas_normalize_tiled_matches_jnp(rng, layout, shape):
+    import jax.numpy as jnp
+
+    from vacv_tpu import config
+    from vacv_tpu.core.image import Image
+    from vacv_tpu.core.types import Layout
+    from vacv_tpu.ops.normalize import normalize_jnp
+    from vacv_tpu.ops.pallas.normalize import normalize_fused_pallas
+
+    x = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    lay = Layout.HWC if layout == "hwc" else Layout.CHW
+    img = Image(jnp.asarray(x), lay)
+    with config.backend("pallas"):
+        got = np.asarray(normalize_fused_pallas(img).data)
+    want = np.asarray(normalize_jnp(img).data)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_normalize_chunked_forces_multiple_chunks(rng):
+    """Shrink the chunk budget so even a small frame multi-chunks, and
+    check the Chan merge against a float64 oracle."""
+    import jax.numpy as jnp
+
+    from vacv_tpu import config
+    from vacv_tpu.core.image import Image
+    from vacv_tpu.core.types import Layout
+    from vacv_tpu.ops.pallas import normalize as pn
+
+    x = rng.integers(0, 256, size=(3, 200, 128), dtype=np.uint8)
+    old = pn._CHUNK_BUDGET
+    pn._CHUNK_BUDGET = 64 * 1024  # ~50 rows/chunk -> 4+ chunks
+    try:
+        with config.backend("pallas"):
+            got = np.asarray(
+                normalize_fused_pallas_fresh(Image(jnp.asarray(x), Layout.CHW))
+            )
+    finally:
+        pn._CHUNK_BUDGET = old
+    f = x.astype(np.float64)
+    mu = f.mean(axis=(1, 2), keepdims=True)
+    sd = f.std(axis=(1, 2), keepdims=True)
+    want = (f - mu) / (sd + 1e-6)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def normalize_fused_pallas_fresh(img):
+    """Call the kernel bypassing the jit cache (the chunk size is
+    derived from module state the cached trace has already baked in)."""
+    from vacv_tpu.ops.pallas import normalize as pn
+
+    pn._call_chw._clear_cache()
+    try:
+        return pn.normalize_fused_pallas(img).data
+    finally:
+        pn._call_chw._clear_cache()

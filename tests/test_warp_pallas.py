@@ -115,3 +115,49 @@ def test_kernel_tall_output_tiles(bgr_640x360):
     ref = np.clip(np.floor(np.asarray(ref) + 1e-4), 0, 255).astype(np.uint8)
     diff = np.abs(out_k.astype(int) - ref.astype(int))
     assert diff.max() <= 1
+
+
+# ---- streaming row-band mode (large planes) ----------------------------
+
+
+@pytest.mark.parametrize("u8", [True, False])
+def test_streaming_mode_matches_resident(rng, u8):
+    """Force the streaming path by shrinking the plane budget; results
+    must be identical to the resident-mode kernel."""
+    import jax.numpy as jnp
+
+    from vacv_tpu.ops.pallas import warp_affine as wp
+
+    h, w = 256, 640  # h%8==0, w%128==0 (streaming gate)
+    src = rng.integers(0, 256, size=(3, h, w), dtype=np.uint8)
+    if not u8:
+        src = src.astype(np.float32)
+    m = np.array([[0.9, 0.03, 8.0], [-0.03, 0.9, 5.0]], np.float32)
+    minv = invert_affine(m)
+
+    res = np.asarray(warp_affine_pallas(
+        jnp.asarray(src), minv, 180, 300, u8=u8, border_value=0.0))
+
+    old = wp._PLANE_BUDGET
+    wp._PLANE_BUDGET = 1  # force streaming
+    wp._call._clear_cache()
+    try:
+        assert wp._stream_ok(minv, h, w, 300, 1 if u8 else 4)
+        got = np.asarray(warp_affine_pallas(
+            jnp.asarray(src), minv, 180, 300, u8=u8, border_value=0.0))
+    finally:
+        wp._PLANE_BUDGET = old
+        wp._call._clear_cache()
+    np.testing.assert_array_equal(got, res)
+
+
+def test_streaming_gate_geometry():
+    from vacv_tpu.ops.pallas import warp_affine as wp
+
+    m = np.array([[0.85, 0.012, -474.0], [-0.012, 0.85, -379.0]], np.float32)
+    minv = invert_affine(m)
+    # 2560x1440 f32 = 14 MB/plane: resident mode impossible, streaming on
+    assert wp.warp_supported(minv, 1440, 2560, 4, w_out=2560)
+    # odd geometry falls back to the jnp gather
+    assert not wp._stream_ok(minv, 1441, 2560, 2560, 4)
+    assert not wp._stream_ok(minv, 1440, 2550, 2550, 4)

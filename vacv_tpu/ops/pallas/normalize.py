@@ -4,15 +4,27 @@ TPU redesign of the reference's three separate linear passes
 (``u8_2_f32_neon`` at ``tensor.cpp:297-347``, then the two-pass
 mean/variance at ``normalize_naive.cpp:7-72``, then the scale pass at
 ``normalize_naive.cpp:74-90``).  That chain reads the pixel data from
-memory four times (once as u8, three times as f32).  Here the whole
-image sits in VMEM once: the kernel widens u8→f32, computes the
-per-channel moments as a hierarchical VPU reduction, and writes the
-normalized f32 planes — a single HBM read of 1 byte/px and a single
-write of 4 bytes/px, which is the bandwidth speed-of-light for the
-fused op.
+memory four times (once as u8, three times as f32).  Here the image
+streams through VMEM in row chunks under a two-phase grid:
 
-Falls back to the jnp path for images whose f32 working set exceeds
-the VMEM budget.
+* **phase 0** reads each u8 chunk once and reduces it to per-chunk
+  sufficient statistics (count n, mean, M2 = Σ(x−μ_chunk)²) held in
+  SMEM — a *within-chunk two-pass* moment, so no catastrophic
+  E[x²]−μ² cancellation at any image size;
+* at the phase boundary the per-chunk partials merge with the parallel
+  Welford/Chan update into per-channel (μ, σ) — the hierarchical
+  reduction SURVEY §7.6 calls for;
+* **phase 1** re-reads each u8 chunk, widens, and writes the
+  normalized f32 chunk.
+
+HBM traffic is 2 u8 reads + 1 f32 write = 6 bytes/px — within ~20% of
+the fused-op speed-of-light (5 B/px) at any frame size, where the
+previous whole-plane-in-VMEM kernel refused anything above ~0.4 Mpx.
+
+Both layouts are native: CHW grids over (phase, channel, chunk) plane
+rows; HWC grids over (phase, chunk) interleaved rows with lane-mod-C
+masks for the per-channel moments and a lane-gathered (μ, σ) field for
+the scale pass — no transpose pass on either side.
 """
 from __future__ import annotations
 
@@ -29,62 +41,197 @@ from ...core.types import Layout
 
 EPS = 1e-6
 
-# Leave headroom below the ~16 MB/core VMEM for double-buffering etc.
-_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# Per-chunk VMEM working set: u8 in + f32 widen + f32 out ≈ 9 B/px.
+_CHUNK_BUDGET = 6 * 1024 * 1024
 
 
-def _kernel(x_ref, out_ref):
-    # One channel plane per grid step, 2-D block (Mosaic's vector
-    # layouts are 2-D; rank-3 reductions crash its reshape inference).
-    # No direct u8->f32 cast on Mosaic; widen via i32 (free on the VPU).
-    x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # (h, w)
-    n = x.shape[0] * x.shape[1]
-    mean = jnp.sum(x) / n
-    # Two-pass variance (free: x already lives in VMEM) — avoids the
-    # E[x²]−μ² cancellation on low-contrast images and matches the
-    # reference's E[(x−μ)²] formulation bit-closely.
-    d = x - mean
-    var = jnp.sum(d * d) / n
-    std = jnp.sqrt(var)
-    out_ref[0] = d / (std + EPS)
+def _chunk_rows(rows: int, lanes: int) -> int:
+    per_row = lanes * 9
+    ch = max(32, min(rows, _CHUNK_BUDGET // max(per_row, 1)))
+    return -(-ch // 32) * 32 if ch < rows else rows
+
+
+def _merge_partials(ns, means, m2s):
+    """Chan parallel-variance merge of per-chunk (n, mean, M2)."""
+    n = jnp.sum(ns)
+    mu = jnp.sum(ns * means) / n
+    m2 = jnp.sum(m2s) + jnp.sum(ns * jnp.square(means - mu))
+    return mu, jnp.sqrt(m2 / n)
+
+
+def _widen(x):
+    # No direct u8→f32 cast on Mosaic; via int32 (free on the VPU).
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.int32).astype(jnp.float32)
+    return x.astype(jnp.float32)
+
+
+def _chw_kernel(x_ref, out_ref, part_ref, stat_ref, *, h, nj, chunk):
+    p = pl.program_id(0)
+    ci = pl.program_id(1)
+    j = pl.program_id(2)
+    rows_left = h - j * chunk
+    rr = jax.lax.broadcasted_iota(jnp.int32, (chunk, x_ref.shape[2]), 0)
+    valid = (rr < rows_left).astype(jnp.float32)
+
+    @pl.when(p == 0)
+    def _():
+        x = _widen(x_ref[0]) * valid
+        n = jnp.minimum(rows_left, chunk).astype(jnp.float32) * x_ref.shape[2]
+        mc = jnp.sum(x) / n
+        d = (x - mc) * valid
+        part_ref[ci, j, 0] = n
+        part_ref[ci, j, 1] = mc
+        part_ref[ci, j, 2] = jnp.sum(d * d)
+
+    @pl.when((p == 1) & (j == 0))
+    def _():
+        # Merge this channel's chunk partials (runs once per channel;
+        # nj scalar SMEM reads — negligible next to the pixel passes).
+        def body(k, acc):
+            n_a, mu_a, m2_a = acc
+            n_b = part_ref[ci, k, 0]
+            mu_b = part_ref[ci, k, 1]
+            m2_b = part_ref[ci, k, 2]
+            n = n_a + n_b
+            delta = mu_b - mu_a
+            mu = mu_a + delta * n_b / n
+            m2 = m2_a + m2_b + delta * delta * n_a * n_b / n
+            return (n, mu, m2)
+
+        n, mu, m2 = jax.lax.fori_loop(
+            0, nj, body, (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+        )
+        stat_ref[ci, 0] = mu
+        stat_ref[ci, 1] = jnp.sqrt(m2 / n)
+
+    @pl.when(p == 1)
+    def _():
+        x = _widen(x_ref[0])
+        out_ref[0] = (x - stat_ref[ci, 0]) / (stat_ref[ci, 1] + EPS)
+
+
+def _hwc_kernel(x_ref, out_ref, part_ref, stat_ref, *, h, c, nj, chunk):
+    p = pl.program_id(0)
+    j = pl.program_id(1)
+    lanes = x_ref.shape[1]
+    rows_left = h - j * chunk
+    rr = jax.lax.broadcasted_iota(jnp.int32, (chunk, lanes), 0)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (chunk, lanes), 1) % c
+    valid = (rr < rows_left).astype(jnp.float32)
+
+    @pl.when(p == 0)
+    def _():
+        x = _widen(x_ref[:]) * valid
+        n = (
+            jnp.minimum(rows_left, chunk).astype(jnp.float32) * lanes / c
+        )
+        for cc in range(c):  # static unroll over channels
+            m = (cid == cc).astype(jnp.float32) * valid
+            mc = jnp.sum(x * m) / n
+            d = (x - mc) * m
+            part_ref[cc, j, 0] = n
+            part_ref[cc, j, 1] = mc
+            part_ref[cc, j, 2] = jnp.sum(d * d)
+
+    @pl.when((p == 1) & (j == 0))
+    def _():
+        for cc in range(c):
+
+            def body(k, acc, cc=cc):
+                n_a, mu_a, m2_a = acc
+                n_b = part_ref[cc, k, 0]
+                mu_b = part_ref[cc, k, 1]
+                m2_b = part_ref[cc, k, 2]
+                n = n_a + n_b
+                delta = mu_b - mu_a
+                mu = mu_a + delta * n_b / n
+                m2 = m2_a + m2_b + delta * delta * n_a * n_b / n
+                return (n, mu, m2)
+
+            n, mu, m2 = jax.lax.fori_loop(
+                0, nj, body, (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+            )
+            stat_ref[cc, 0] = mu
+            stat_ref[cc, 1] = jnp.sqrt(m2 / n)
+
+    @pl.when(p == 1)
+    def _():
+        x = _widen(x_ref[:])
+        mu = jnp.zeros((chunk, lanes), jnp.float32)
+        sd = jnp.zeros((chunk, lanes), jnp.float32)
+        for cc in range(c):
+            sel = cid == cc
+            mu = jnp.where(sel, stat_ref[cc, 0], mu)
+            sd = jnp.where(sel, stat_ref[cc, 1], sd)
+        out_ref[:] = (x - mu) / (sd + EPS)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _call(planes, *, interpret: bool):
+def _call_chw(planes, *, interpret: bool):
     c, h, w = planes.shape
+    chunk = _chunk_rows(h, w)
+    nj = pl.cdiv(h, chunk)
+    kern = functools.partial(_chw_kernel, h=h, nj=nj, chunk=chunk)
     return pl.pallas_call(
-        _kernel,
-        grid=(c,),
+        kern,
+        grid=(2, c, nj),
         in_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (1, chunk, w), lambda p, ci, j: (ci, j, 0),
+                memory_space=pltpu.VMEM,
+            )
         ],
+        # Phase 0 parks the (unwritten) output window on block (0,0,0);
+        # phase 1 revisits and writes every block with real data.
         out_specs=pl.BlockSpec(
-            (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, chunk, w),
+            lambda p, ci, j: (ci * p, j * p, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((c, nj, 3), jnp.float32),
+            pltpu.SMEM((c, 2), jnp.float32),
+        ],
         interpret=interpret,
     )(planes)
 
 
-def fits_vmem(shape) -> bool:
-    c, h, w = shape
-    # u8 in + f32 working + f32 out
-    return c * h * w * (1 + 4 + 4) <= _VMEM_BUDGET_BYTES
+@functools.partial(jax.jit, static_argnames=("c", "interpret"))
+def _call_hwc(rows, *, c: int, interpret: bool):
+    h, lanes = rows.shape
+    chunk = _chunk_rows(h, lanes)
+    nj = pl.cdiv(h, chunk)
+    kern = functools.partial(_hwc_kernel, h=h, c=c, nj=nj, chunk=chunk)
+    return pl.pallas_call(
+        kern,
+        grid=(2, nj),
+        in_specs=[
+            pl.BlockSpec(
+                (chunk, lanes), lambda p, j: (j, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (chunk, lanes), lambda p, j: (j * p, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, lanes), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((c, nj, 3), jnp.float32),
+            pltpu.SMEM((c, 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows)
 
 
 def normalize_fused_pallas(img: Image) -> Image:
     """Self-normalize an image (mean/stddev from the image itself)."""
     data = img.data
-    if img.layout == Layout.HWC:
-        planes = jnp.transpose(data, (2, 0, 1))
-    else:
-        planes = data
-    if not fits_vmem(planes.shape):
-        from ..normalize import normalize_jnp
-
-        return normalize_jnp(img)
     config.record_kernel("normalize_fused")
-    out = _call(planes, interpret=config.pallas_interpret())
+    interp = config.pallas_interpret()
     if img.layout == Layout.HWC:
-        out = jnp.transpose(out, (1, 2, 0))
+        h, w, c = data.shape
+        out = _call_hwc(data.reshape(h, w * c), c=c, interpret=interp)
+        return img.with_data(out.reshape(h, w, c))
+    out = _call_chw(data, interpret=interp)
     return img.with_data(out)

@@ -103,6 +103,8 @@ def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
           oh: int, ow: int) -> _Plan | None:
     """Build the banded weight tables.  Returns None if unsupported."""
     w3 = w_img * 3
+    if left < 0 or cw <= 0 or ch <= 0 or left + cw > w_img or ch > h_img:
+        return None         # crop must sit inside the frame
     if w3 % _LANE:          # lane-pad odd widths via the jnp path
         return None
     if ch < _CHUNK:         # tiny crops: jnp path (chunk would read
@@ -360,7 +362,8 @@ def _call(batch, top, *, left, cw, ch, oh, ow, trunc_u8, precise,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(
-                (2, 1, 1, plan.row_win, rows),
+                # hi half only unless the Dekker-exact path needs lo
+                (2 if precise else 1, 1, 1, plan.row_win, rows),
                 wy_index,
                 memory_space=pltpu.VMEM,
             ),

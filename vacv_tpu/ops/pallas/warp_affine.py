@@ -24,9 +24,18 @@ border value.  The u8 path uses the same Q11-quantized weights as the
 reference fixed-point kernel (warp_affine_naive.cpp:31-41) with Q22
 truncation on write-out.
 
-The source plane stays VMEM-resident across the row/col tile grid
-(re-fetched once per channel), so HBM traffic is one read of the
-source + one write of the output.
+Two source-residency modes:
+
+* **resident** (small planes): the padded source planes sit whole in
+  VMEM across the tile grid — one HBM read of the source total.
+* **streaming** (large planes, e.g. the reference's 2560×1440 f32
+  asset whose 14 MB/plane blew the old whole-plane gate): the source
+  stays in HBM; at the first tile of every output tile-row the kernel
+  DMAs the source *row band* feeding that whole tile-row into a VMEM
+  scratch (its height is closed-form from the matrix coefficients),
+  and every tile in the row slices its column window out of the band.
+  HBM traffic ≈ one source read × a small overlap factor, independent
+  of plane size.
 """
 from __future__ import annotations
 
@@ -42,16 +51,20 @@ from ... import config
 
 _COEF_SCALE = 2048.0
 
-# VMEM budget for keeping a source plane resident (u8 bytes).
+# VMEM budget for keeping the source planes resident (bytes); larger
+# sources use the streaming row-band mode.
 _PLANE_BUDGET = 8 * 1024 * 1024
+# VMEM budget for the streaming row-band scratch (bytes).
+_BAND_BUDGET = 6 * 1024 * 1024
 
 
 def _quantize_q11(w):
     return jnp.floor(w * _COEF_SCALE + 0.5) / _COEF_SCALE
 
 
-def _kernel(src_ref, out_ref, *, m, h_in, w_in, t, l, bh, bw, rh, cw, u8, bv,
-            cs):
+def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, l, bh, bw, rh, cw,
+            u8, bv, cs, rbh):
+    stream = rbh > 0
     ty = pl.program_id(1)
     tx = pl.program_id(2)
 
@@ -91,19 +104,64 @@ def _kernel(src_ref, out_ref, *, m, h_in, w_in, t, l, bh, bw, rh, cw, u8, bv,
     y0_ok = ((sy >= 0) & (sy <= h_in - 1)).astype(jnp.float32)
     y1_ok = ((sy >= -1) & (sy + 1 <= h_in - 1)).astype(jnp.float32)
 
+    if stream:
+        # Streaming mode runs on unpadded sources gated to h%8 == 0,
+        # w%128 == 0, so the "padded" dims ARE the source dims.
+        h_pad, w_pad = h_in, w_in
+        band_ref, sem = scratch
+        row_align = 8
+
+        # Row band feeding this whole output tile-row: closed-form
+        # from the 4 corners of the (t, ntx*l) row (fy is affine, so
+        # the corner minimum is the row minimum).
+        wp_out = pl.num_programs(2) * l
+        cor = [
+            m3 * ddx + m4 * ddy + m5
+            for ddx in (0.0, float(wp_out - 1))
+            for ddy in ((ty * t).astype(jnp.float32),
+                        (ty * t + (t - 1)).astype(jnp.float32))
+        ]
+        row_min = jnp.floor(
+            jnp.minimum(jnp.minimum(cor[0], cor[1]),
+                        jnp.minimum(cor[2], cor[3]))
+        ).astype(jnp.int32)
+        r0_row = jnp.minimum(
+            (jnp.clip(row_min, 0, None) // 8) * 8, h_in - rbh
+        )
+        r0_row = pl.multiple_of(r0_row, 8)
+
+        @pl.when(tx == 0)
+        def _():
+            cg = pl.program_id(0)
+            for k in range(cs):
+                pltpu.make_async_copy(
+                    src_ref.at[cg * cs + k, pl.ds(r0_row, rbh), :],
+                    band_ref.at[k],
+                    sem.at[k],
+                ).start()
+            for k in range(cs):
+                pltpu.make_async_copy(
+                    src_ref.at[cg * cs + k, pl.ds(r0_row, rbh), :],
+                    band_ref.at[k],
+                    sem.at[k],
+                ).wait()
+    else:
+        h_pad = src_ref.shape[1]
+        w_pad = src_ref.shape[2]
+        row_align = 32
+
     # Band origin: tile minima aligned down to the VMEM slice
-    # granularity Mosaic can prove (sublanes: 32, lanes: 128); the
-    # static band sizes include the alignment slack, and the padded
-    # plane dims keep the clipped maximal start aligned too.
-    h_pad = src_ref.shape[1]
-    w_pad = src_ref.shape[2]
+    # granularity (8 sublane rows suffice for the dynamic slices; the
+    # resident mode keeps its original 32 alignment), clipped so the
+    # static band sizes stay in-bounds.
     r0 = jnp.minimum(
-        (jnp.clip(jnp.min(sy), 0, None) // 32) * 32, h_pad - bh
+        (jnp.clip(jnp.min(sy), 0, None) // row_align) * row_align,
+        h_pad - bh,
     )
     c0 = jnp.minimum(
         (jnp.clip(jnp.min(sx), 0, None) // 128) * 128, w_pad - bw
     )
-    r0 = pl.multiple_of(r0, 32)
+    r0 = pl.multiple_of(r0, 8)
     c0 = pl.multiple_of(c0, 128)
 
     def load_band(row_start, nrows):
@@ -111,7 +169,12 @@ def _kernel(src_ref, out_ref, *, m, h_in, w_in, t, l, bh, bw, rh, cw, u8, bv,
         # dots then run at M = cs*rh, and the coordinate/selection
         # fields are built once for every channel.
         def one(ci):
-            b = src_ref[ci, pl.ds(row_start, nrows), pl.ds(c0, bw)]
+            if stream:
+                b = band_ref[
+                    ci, pl.ds(row_start - r0_row, nrows), pl.ds(c0, bw)
+                ]
+            else:
+                b = src_ref[ci, pl.ds(row_start, nrows), pl.ds(c0, bw)]
             return (
                 b.astype(jnp.int32).astype(jnp.float32)
                 if u8
@@ -226,18 +289,44 @@ def _band_sizes(minv, t, l, h_pad, w_pad):
     return bh, bw, rh, cw
 
 
-def warp_supported(minv, h_in, w_in, itemsize: int = 1) -> bool:
-    """Can the pallas kernel handle this warp config?"""
-    if h_in * w_in * itemsize > _PLANE_BUDGET:
+def _row_band_height(minv, t, l, w_out, h_in, bh):
+    """Streaming-mode row-band height: the source rows feeding one full
+    (t, w_out_pad) output tile-row, plus the per-tile band height so
+    every tile's [r0, r0+bh) window is contained (see containment
+    analysis in _call)."""
+    m = np.abs(np.asarray(minv, np.float64)).ravel()
+    wp = _round_up(w_out, l)
+    row_span = int(np.ceil(m[3] * (wp - 1)))
+    return min(_round_up(row_span + 3 + 8, 8) + bh, h_in)
+
+
+def _stream_ok(minv, h_in, w_in, w_out, itemsize):
+    """Is the streaming row-band mode available for this config?"""
+    if h_in % 8 or w_in % 128:
         return False
     t, l = 8, 128
-    bh, bw, _, _ = _band_sizes(minv, t, l, _round_up(h_in, 32), _round_up(w_in, 128))
+    bh, bw, rh, cw = _band_sizes(minv, t, l, h_in, w_in)
+    rbh = _row_band_height(minv, t, l, w_out, h_in, bh)
+    return rbh * w_in * itemsize <= _BAND_BUDGET
+
+
+def warp_supported(minv, h_in, w_in, itemsize: int = 1,
+                   w_out: int | None = None) -> bool:
+    """Can the pallas kernel handle this warp config?"""
+    t, l = 8, 128
+    h_pad = _round_up(h_in, 32)
+    w_pad = _round_up(w_in, 128)
+    bh, bw, _, _ = _band_sizes(minv, t, l, h_pad, w_pad)
     # Matrix-magnitude gate, evaluated at the smallest tile height the
     # adaptive _call would fall back to: beyond these band sizes (huge
     # downscale factors / extreme shears) the selection fields F/F1
     # (cw, t*l) plus the band no longer fit a safe VMEM share even at
     # t=8, so the op routes to the jnp gather path instead.
-    return bh <= 224 and bw <= 1152
+    if not (bh <= 224 and bw <= 1152):
+        return False
+    if h_in * w_in * itemsize <= _PLANE_BUDGET:
+        return True
+    return _stream_ok(minv, h_in, w_in, w_out if w_out else w_in, itemsize)
 
 
 @functools.partial(
@@ -247,60 +336,86 @@ def warp_supported(minv, h_in, w_in, itemsize: int = 1) -> bool:
 def _call(planes, *, m, h_out, w_out, u8, bv, interpret):
     c, h_in, w_in = planes.shape
     l = 128
-    # Pad the plane so the maximal aligned band start stays in-bounds.
-    h_pad = _round_up(h_in, 32)
-    w_pad = _round_up(w_in, 128)
-    if (h_pad, w_pad) != (h_in, w_in):
-        planes = jnp.pad(
-            planes, ((0, 0), (0, h_pad - h_in), (0, w_pad - w_in))
-        )
-    # Channel stacking: when every plane fits VMEM together, process
-    # all c channels per grid step with the bands stacked along the
-    # dot's M axis — 3x fewer selection-field builds and a taller,
-    # better-utilized MXU M dimension.
     itemsize = 1 if u8 else 4
-    cs = c if c * h_pad * w_pad * itemsize <= _PLANE_BUDGET else 1
+    stream = h_in * w_in * itemsize > _PLANE_BUDGET
+
+    if stream:
+        # Source stays in HBM, unpadded (gated to h%8 == 0, w%128 == 0
+        # by warp_supported); per-tile-row bands DMA into VMEM scratch.
+        h_pad, w_pad = h_in, w_in
+    else:
+        # Pad the plane so the maximal aligned band start stays
+        # in-bounds.
+        h_pad = _round_up(h_in, 32)
+        w_pad = _round_up(w_in, 128)
+        if (h_pad, w_pad) != (h_in, w_in):
+            planes = jnp.pad(
+                planes, ((0, 0), (0, h_pad - h_in), (0, w_pad - w_in))
+            )
 
     # Tile height: the per-tile row band rh ~ |m3|*l + |m4|*t grows
     # with t, and total selection-dot MACs scale with rh — so prefer
     # the SMALLEST tile that keeps per-tile overheads amortized (t=8
     # minimizes MACs; with the vertical pass vectorized and fields
     # shared across channels the old tall-tile advantage is gone).
-    # Back off to taller tiles only if t=8 somehow exceeds VMEM (it
-    # cannot: work shrinks with t).
     for t in (8, 16, 32):
         bh, bw, rh, cw = _band_sizes(m, t, l, h_pad, w_pad)
+        if stream:
+            rbh = _row_band_height(m, t, l, w_out, h_in, bh)
+            cs = (
+                c
+                if c * rbh * w_pad * itemsize <= _BAND_BUDGET
+                else 1
+            )
+            resident = cs * rbh * w_pad * itemsize
+        else:
+            rbh = 0
+            # Channel stacking: when every plane fits VMEM together,
+            # process all c channels per grid step with the bands
+            # stacked along the dot's M axis — 3x fewer selection-field
+            # builds and a taller, better-utilized MXU M dimension.
+            cs = c if c * h_pad * w_pad * itemsize <= _PLANE_BUDGET else 1
+            resident = c * h_pad * w_pad * itemsize
         work = (
             2 * cw * t * l * (2 if u8 else 4)  # F/F1 fields
             + 2 * cs * rh * t * l * 4  # p0cat/p1cat
             + rh * t * l * 4  # wv
             + cs * rh * bw * 4  # band
         )
-        if work + c * h_pad * w_pad * itemsize <= 12 * 1024 * 1024:
+        if work + resident <= 12 * 1024 * 1024:
             break
     hp = pl.cdiv(h_out, t) * t
     wp = pl.cdiv(w_out, l) * l
     grid = (c // cs, hp // t, wp // l)
     kernel = functools.partial(
         _kernel, m=m, h_in=h_in, w_in=w_in, t=t, l=l, bh=bh, bw=bw, rh=rh,
-        cw=cw, u8=u8, bv=bv, cs=cs,
+        cw=cw, u8=u8, bv=bv, cs=cs, rbh=rbh,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+    dtype = jnp.uint8 if u8 else jnp.float32
+    if stream:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)]
+        scratch_shapes = [
+            pltpu.VMEM((cs, rbh, w_pad), planes.dtype),
+            pltpu.SemaphoreType.DMA((cs,)),
+        ]
+    else:
+        in_specs = [
             pl.BlockSpec(
                 (cs, h_pad, w_pad), lambda ci, ty, tx: (ci, 0, 0),
                 memory_space=pltpu.VMEM,
             )
-        ],
+        ]
+        scratch_shapes = []
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (cs, t, l), lambda ci, ty, tx: (ci, ty, tx),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (c, hp, wp), jnp.uint8 if u8 else jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct((c, hp, wp), dtype),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(planes)
     return out[:, :h_out, :w_out]

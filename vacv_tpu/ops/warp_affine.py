@@ -256,7 +256,8 @@ def warp_affine(
         from .pallas.warp_affine import warp_affine_pallas, warp_supported
 
         if vconfig.use_pallas() and warp_supported(
-            minv, planes.shape[-2], planes.shape[-1], data.dtype.itemsize
+            minv, planes.shape[-2], planes.shape[-1], data.dtype.itemsize,
+            w_out=dsize.w,
         ):
             use_kernel = True
 
