@@ -11,11 +11,20 @@ Prints ONE JSON line:
 (OpenCV running the identical chain single-threaded on the host — the
 reference's oracle and its effective performance envelope).
 
-Timing uses the loop-slope method (``vacv_tpu.utils.perf.device_time``):
-K pipeline iterations inside one jitted fori_loop with a scalar
-readback, per-iteration time taken as the slope between two K values —
-robust against async-dispatch and remote-tunnel artifacts.  The crop
-offset varies with the loop index so XLA cannot hoist the body.
+Two device paths are measured and the faster one is the headline:
+
+* the XLA pipeline (crop -> resize matmuls -> normalize, fused by XLA),
+  timed with the loop-slope method (``vacv_tpu.utils.perf.device_time``:
+  K iterations inside one jitted fori_loop with a traced K and a scalar
+  readback; slope between two K values cancels dispatch/transfer
+  constants — required on remote-tunneled TPUs where host wall-clock
+  is fake);
+* the fused Pallas preprocess kernel (one HBM pass), timed with a
+  loop-free *batch-slope*: the jitted kernel runs at two batch sizes
+  with a scalar readback each, and the per-frame time is the slope
+  over the batch delta — same constant-cancelling idea without
+  wrapping the DMA kernel in a fori_loop (a shape the remote compile
+  service handles poorly).
 """
 from __future__ import annotations
 
@@ -38,7 +47,23 @@ def make_batch(n=BATCH):
     return rng.integers(0, 256, size=(n, H, W, 3), dtype=np.uint8)
 
 
-def bench_tpu():
+def _gen_device_batch(n):
+    import jax
+    import jax.numpy as jnp
+
+    # Generate the batch on-device: the benchmark measures preprocessing
+    # throughput on HBM-resident frames, and on remote-tunneled TPUs a
+    # 190 MB host transfer would crawl through the relay link.
+    @jax.jit
+    def gen():
+        return jax.random.randint(
+            jax.random.PRNGKey(0), (n, H, W, 3), 0, 256, jnp.uint8
+        )
+
+    return jax.block_until_ready(gen())
+
+
+def bench_jnp_path():
     import jax
     import jax.numpy as jnp
 
@@ -61,18 +86,64 @@ def bench_tpu():
         left = CROP_LEFT + (i % 2)
         return jax.vmap(lambda x: per_image(x, left))(b)
 
-    # Generate the batch on-device: the benchmark measures preprocessing
-    # throughput on HBM-resident frames, and on remote-tunneled TPUs a
-    # 190 MB host transfer would crawl through the relay link.
-    @jax.jit
-    def gen():
-        return jax.random.randint(
-            jax.random.PRNGKey(0), (BATCH, H, W, 3), 0, 256, jnp.uint8
-        )
-
-    dev_batch = jax.block_until_ready(gen())
+    dev_batch = _gen_device_batch(BATCH)
     sec = device_time(step, dev_batch, iters=32, base_iters=2)
-    return BATCH / sec, sec * 1e3
+    return BATCH / sec, sec / BATCH
+
+
+def bench_fused_kernel(r_small=2, r_big=18, reps=8):
+    """Unroll-slope timing of the fused Pallas kernel: R data-chained
+    kernel invocations inside one jitted program (no fori_loop — a
+    shape the remote compile service mishandles for DMA kernels), with
+    a scalar readback forcing execution.  Per-batch time is the slope
+    between the R_small and R_big programs; the dispatch/readback
+    constant cancels, and the chained ``top`` offset (derived from the
+    previous iteration's checksum) defeats CSE/hoisting."""
+    import jax
+    import jax.numpy as jnp
+
+    import vacv_tpu as vc
+    from vacv_tpu.ops.pallas.preprocess import (
+        plan_supported, preprocess_fused_batch,
+    )
+
+    if not plan_supported(H, W, CROP_LEFT, CROP_W, CROP_H, OUT, OUT):
+        return None
+
+    rect = vc.VRect(CROP_LEFT, CROP_TOP, CROP_LEFT + CROP_W, CROP_TOP + CROP_H)
+
+    def make_fn(r):
+        @jax.jit
+        def many(b):
+            acc = jnp.float32(0.0)
+            for _ in range(r):
+                top = CROP_TOP + (jnp.abs(acc).astype(jnp.int32) % 2)
+                out = preprocess_fused_batch(b, rect, (OUT, OUT), top=top)
+                acc = acc + jnp.sum(out, dtype=jnp.float32)
+            return acc
+
+        return many
+
+    b = _gen_device_batch(BATCH)
+
+    def best_time(fn):
+        float(fn(b))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn(b))  # scalar readback forces execution
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    f_small = make_fn(r_small)
+    f_big = make_fn(r_big)
+    t_small = best_time(f_small)
+    t_big = best_time(f_big)
+    # second interleaved round absorbs slow link drift
+    t_small = min(t_small, best_time(f_small))
+    t_big = min(t_big, best_time(f_big))
+    per_batch = max((t_big - t_small) / (r_big - r_small), 1e-9)
+    return BATCH / per_batch, per_batch / BATCH
 
 
 def bench_opencv(batch):
@@ -97,11 +168,31 @@ def bench_opencv(batch):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="also run per-op table")
+    ap.add_argument("--jnp-only", action="store_true",
+                    help="skip the fused-kernel measurement")
     args = ap.parse_args()
+
+    from vacv_tpu import config as vconfig
+
+    vconfig.enable_compile_cache()
 
     batch = make_batch()
     cv_fps, cv_ms = bench_opencv(batch)
-    fps, ms_per_batch = bench_tpu()
+    jnp_fps, jnp_sec = bench_jnp_path()
+
+    fused = None
+    if not args.jnp_only:
+        try:
+            fused = bench_fused_kernel()
+        except Exception as e:  # pragma: no cover - defensive: keep the
+            print(f"# fused path failed: {e!r}", file=sys.stderr)
+
+    if fused and fused[0] > jnp_fps:
+        fps, path = fused[0], "pallas_fused"
+        ms_per_batch = fused[1] * BATCH * 1e3
+    else:
+        fps, path = jnp_fps, "xla_pipeline"
+        ms_per_batch = jnp_sec * BATCH * 1e3
 
     if args.full:
         from benchmarks.op_bench import run_op_table  # noqa
@@ -117,7 +208,10 @@ def main():
                 "vs_baseline": round(fps / cv_fps, 2),
                 "detail": {
                     "batch": BATCH,
+                    "path": path,
                     "ours_ms_per_batch": round(ms_per_batch, 3),
+                    "xla_pipeline_fps": round(jnp_fps, 1),
+                    "pallas_fused_fps": round(fused[0], 1) if fused else None,
                     "opencv_1thread_fps": round(cv_fps, 1),
                     "opencv_ms_per_frame": round(cv_ms, 3),
                 },

@@ -179,8 +179,8 @@ def build_tests():
     return tests
 
 
-def main():
-    prof = CvProfile(k_test_times=1, k_log_batch_size=10)
+def main(reps=5):
+    prof = CvProfile(k_test_times=reps, k_log_batch_size=10)
     prof.profile(build_tests(), verbose=False)
     ok = prof.print_results()
     prof.save_results("bench_baseline_configs.json")

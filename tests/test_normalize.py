@@ -142,3 +142,25 @@ def normalize_fused_pallas_fresh(img):
         return pn.normalize_fused_pallas(img).data
     finally:
         pn._call_chw._clear_cache()
+
+
+def test_pallas_normalize_under_vmap(rng):
+    """The batched() pipeline vmaps the dispatcher; the pallas kernel
+    must batch correctly (pallas adds a leading grid dim)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vacv_tpu import config
+    from vacv_tpu.core.image import Image
+    from vacv_tpu.core.types import Layout
+    from vacv_tpu.ops.normalize import normalize, normalize_jnp
+
+    x = rng.integers(0, 256, size=(4, 3, 64, 96), dtype=np.uint8)
+    with config.backend("pallas"):
+        f = jax.vmap(lambda a: normalize(Image(a, Layout.CHW)).data)
+        got = np.asarray(f(jnp.asarray(x)))
+    want = np.stack([
+        np.asarray(normalize_jnp(Image(jnp.asarray(x[i]), Layout.CHW)).data)
+        for i in range(4)
+    ])
+    np.testing.assert_allclose(got, want, atol=1e-4)

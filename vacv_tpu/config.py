@@ -57,6 +57,21 @@ def pallas_interpret() -> bool:
     return not on_tpu()
 
 
+def enable_compile_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (benchmark CLIs call
+    this so the fused-kernel compiles — minutes over a remote-tunneled
+    TPU — are paid once per machine, not once per process)."""
+    import os
+
+    path = path or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
 # --- kernel-path observability ------------------------------------
 # Trace-time counters recording which backend actually served each op
 # (the reference's analogue is its compile-time USE_NEON/USE_CUDA

@@ -333,13 +333,28 @@ def _kernel(
         stats_ref[0] = stats
 
 
+@functools.lru_cache(maxsize=64)
+def _plan_tables(key, precise: bool):
+    """Device-resident weight tables for a plan, materialized OUTSIDE
+    any jit trace: closed-over device arrays become lifted parameters
+    of the compiled executable instead of multi-MB HLO literals (which
+    bloat compile time on the remote compile service)."""
+    plan = _plan(*key)
+    with jax.ensure_compile_time_eval():  # concrete even under a trace
+        wy = jnp.asarray(plan.wy if precise else plan.wy[:1])
+        wx = jnp.asarray(plan.wx if precise else plan.wx[:1])
+        starts = jnp.asarray(plan.starts, jnp.int32)
+        out0 = jnp.asarray(plan.out_row0, jnp.int32)
+    return wy, wx, starts, out0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("left", "cw", "ch", "oh", "ow", "trunc_u8",
                      "precise", "interpret", "stage"),
 )
-def _call(batch, top, *, left, cw, ch, oh, ow, trunc_u8, precise,
-          interpret, stage=3):
+def _call(batch, top, wy_arr, wx_arr, starts_arr, out0_arr, *, left, cw,
+          ch, oh, ow, trunc_u8, precise, interpret, stage=3):
     n, h, w, _ = batch.shape
     plan = _plan(h, w, left, cw, ch, oh, ow)
     src = batch.reshape(n, h, w * 3)
@@ -395,11 +410,11 @@ def _call(batch, top, *, left, cw, ch, oh, ow, trunc_u8, precise,
         interpret=interpret,
     )(
         jnp.asarray([top], jnp.int32),
-        jnp.asarray(plan.starts, jnp.int32),
-        jnp.asarray(plan.out_row0, jnp.int32),
+        starts_arr,
+        out0_arr,
         src,
-        jnp.asarray(plan.wy if precise else plan.wy[:1]),
-        jnp.asarray(plan.wx if precise else plan.wx[:1]),
+        wy_arr,
+        wx_arr,
     )
 
 
@@ -441,9 +456,13 @@ def preprocess_fused_batch(
     if _plan(h, w, left, cw, ch, oh, ow) is None:
         raise ValueError("config not supported by the fused kernel")
     config.record_kernel("preprocess_fused")
+    wy_arr, wx_arr, starts_arr, out0_arr = _plan_tables(
+        (h, w, left, cw, ch, oh, ow), precise
+    )
     res, stats = _call(
         batch,
         top0 if top is None else top,
+        wy_arr, wx_arr, starts_arr, out0_arr,
         left=left, cw=cw, ch=ch, oh=oh, ow=ow,
         trunc_u8=trunc_u8, precise=precise, stage=stage,
         interpret=config.pallas_interpret(),
