@@ -55,8 +55,10 @@ def test_plan_supported_bench_config():
 def test_plan_rejects_unsupported():
     # width not a multiple of 128 lanes after interleave
     assert not plan_supported(360, 630, 0, 630, 360, 224, 224)
-    # crop height below one DMA chunk
-    assert not plan_supported(360, 640, 0, 640, 96, 64, 64)
+    # crop height below the smallest DMA chunk (32 rows)
+    assert not plan_supported(360, 640, 0, 640, 24, 64, 64)
+    # 96-row crops now plan with an adaptively smaller chunk
+    assert plan_supported(360, 640, 0, 640, 96, 64, 64)
     with pytest.raises(ValueError):
         preprocess_fused_batch(
             np.zeros((1, 360, 630, 3), np.uint8), None, (224, 224)

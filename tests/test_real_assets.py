@@ -140,9 +140,8 @@ def test_fused_pipeline_real_photo(img_1440p):
     x = img_1440p
     with config.backend("pallas"):
         pre = Preprocessor(cfg)
-        # (2560-wide frames exceed the fused plan's VMEM budget — the
-        # Preprocessor transparently uses the XLA chain there.)
-        assert pre._fused_geometry(x.shape, x.dtype) is None
+        # 2560-wide frames plan with an adaptively smaller DMA chunk.
+        assert pre._fused_geometry(x.shape, x.dtype) is not None
         out = np.asarray(pre(x))
     crop_ref = x[28 : 28 + 1388, 64 : 64 + 2432]
     resized = cv2.resize(crop_ref, (224, 224)).astype(np.float32)

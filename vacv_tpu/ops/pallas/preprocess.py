@@ -58,12 +58,10 @@ from ..resize import _linear_weights
 EPS = 1e-6
 
 _LANE = 128
-# Source rows per DMA chunk (u8 sublane tile = 32).  Large chunks
-# amortise the per-grid-step issue overhead (~1-2 us) that otherwise
-# dominates: at 1080p a 64-row chunk is only ~0.4 MB / ~0.8 us of HBM
-# traffic.  128 rows keeps the widen temporaries + _NBUF buffers under
-# the VMEM budget while halving the step count.
-_CHUNK = 128
+# Source rows per DMA chunk (u8 sublane tile = 32): the planner tries
+# 128 first (large chunks amortise the ~1-2 us per-grid-step issue
+# overhead; at 1080p a 128-row chunk is ~0.8 MB) and steps down for
+# wide frames whose f32 accumulator eats the VMEM budget.
 _VMEM_BUDGET = int(14.5 * 1024 * 1024)
 # DMA pipeline depth (outstanding HBM->VMEM chunk copies).
 _NBUF = 4
@@ -101,33 +99,48 @@ class _Plan:
 @functools.lru_cache(maxsize=64)
 def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
           oh: int, ow: int) -> _Plan | None:
-    """Build the banded weight tables.  Returns None if unsupported."""
+    """Build the banded weight tables.  Returns None if unsupported.
+
+    The DMA chunk height adapts downward for wide frames (the f32
+    accumulator spans the full interleaved width, so e.g. 2560-wide
+    sources only fit VMEM with smaller chunk buffers) and for short
+    crops.
+    """
+    for chunk in (128, 96, 64, 48, 32):
+        p = _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow, chunk)
+        if p is not None:
+            return p
+    return None
+
+
+def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
+                     chunk) -> _Plan | None:
     w3 = w_img * 3
     if left < 0 or cw <= 0 or ch <= 0 or left + cw > w_img or ch > h_img:
         return None         # crop must sit inside the frame
     if w3 % _LANE:          # lane-pad odd widths via the jnp path
         return None
-    if ch < _CHUNK:         # tiny crops: jnp path (chunk would read
+    if ch < chunk:          # tiny crops: jnp path (chunk would read
         return None         # past the crop for an unknown runtime top)
-    if h_img % 8 or h_img < _CHUNK + 8:
+    if h_img % 8 or h_img < chunk + 8:
         # DMA row offsets must be 8-aligned (i8 HBM tiling); the
         # aligned-base + shifted-weight-variant trick needs H % 8 == 0.
         return None
 
     # ---- vertical: chunked Q11 bilinear rows ----------------------
     wy_full = _linear_weights(ch, oh, quantize=True)  # (oh, ch)
-    n_chunks = -(-ch // _CHUNK)
+    n_chunks = -(-ch // chunk)
     starts, slices = [], []
     prev_end = 0
     row_win = 8
     for j in range(n_chunks):
-        s = min(j * _CHUNK, ch - _CHUNK)
-        wyj = wy_full[:, s : s + _CHUNK].copy()
+        s = min(j * chunk, ch - chunk)
+        wyj = wy_full[:, s : s + chunk].copy()
         # Overlap with the previous chunk (clamped last chunk): zero
         # the already-covered columns so each weight lands exactly once.
         if s < prev_end:
             wyj[:, : prev_end - s] = 0.0
-        prev_end = s + _CHUNK
+        prev_end = s + chunk
         nz = np.nonzero(wyj.any(axis=1))[0]
         r0 = 0 if len(nz) == 0 else (int(nz[0]) // 8) * 8
         r1 = r0 if len(nz) == 0 else int(nz[-1]) + 1
@@ -141,7 +154,7 @@ def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
     # (CHUNK+8)-row buffer.  Pre-shift the weight columns for each of
     # the 9 possible rem values; the scalar-prefetch index map picks
     # the right variant per step.
-    wy = np.zeros((9, n_chunks, row_win, _CHUNK + 8), np.float32)
+    wy = np.zeros((9, n_chunks, row_win, chunk + 8), np.float32)
     for j, (wyj, r0) in enumerate(slices):
         r0 = min(r0, max(oh - row_win, 0))
         r1 = min(r0 + row_win, oh)
@@ -149,7 +162,7 @@ def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
         if wyj[:r0].any() or wyj[r1:].any():
             return None  # window miss (cannot happen; belt-and-braces)
         for rem in range(9):
-            wy[rem, j, : r1 - r0, rem : rem + _CHUNK] = wyj[r0:r1]
+            wy[rem, j, : r1 - r0, rem : rem + chunk] = wyj[r0:r1]
 
     # ---- horizontal: banded Q11 bilinear over interleaved lanes ---
     wx_full = _linear_weights(cw, ow, quantize=True)  # (ow, cw)
@@ -191,7 +204,7 @@ def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
             for t in taps[o]:
                 wx[b, (left + t) * 3 + c - c0, i] = wx_full[o, t]
 
-    rows = _CHUNK + 8
+    rows = chunk + 8
     vmem = (
         oh * w3 * 4                      # f32 accumulator
         + _NBUF * rows * w3              # pipelined u8 chunk buffers
@@ -204,7 +217,7 @@ def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
     if vmem > _VMEM_BUDGET:
         return None
     return _Plan(
-        n_chunks, _CHUNK, row_win, tuple(starts), tuple(out0),
+        n_chunks, chunk, row_win, tuple(starts), tuple(out0),
         op3, n_xblocks, xband, tuple(xstarts),
         _split_hi_lo(wy), _split_hi_lo(wx), vmem,
     )
