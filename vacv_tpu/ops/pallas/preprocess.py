@@ -20,10 +20,13 @@ the fusion, so both passes are banded:
   lanes ``(left+w)*3+c``, so each 128-lane output block touches a
   ``~128·scale`` source band and crop-left rides the weights;
 * vacv u8 fixed-point parity truncation (``floor`` after the Q11
-  matmuls, resize_naive.cpp:61-64) and the per-channel moments happen
-  in VMEM; the tiny interleaved result + stats are written out and a
-  fused XLA epilogue does the HWC→CHW deinterleave and the
-  ``(x−μ)/(σ+1e-6)`` scale (one pass over the 0.6 MB/frame output).
+  matmuls, resize_naive.cpp:61-64), the HWC→CHW **deinterleave as 0/1
+  selection matmuls** (``G[s, o] = (s == o*3+c)`` — exact in one bf16
+  MXU pass on the ≤8-bit truncated values), the per-channel moments,
+  and the ``(x−μ)/(σ+1e-6)`` scale all happen in VMEM; the kernel
+  writes the final planar normalized (3, oh, ow) f32 block.  No XLA
+  epilogue touches the output again (the previous interleaved+epilogue
+  design cost an extra read+write of the whole output batch).
 
 Matmuls run on the MXU in bf16.  ``precise=True`` splits both weights
 and the horizontal operand into hi/lo bf16 pairs (Dekker-style), making
@@ -62,7 +65,7 @@ _LANE = 128
 # 128 first (large chunks amortise the ~1-2 us per-grid-step issue
 # overhead; at 1080p a 128-row chunk is ~0.8 MB) and steps down for
 # wide frames whose f32 accumulator eats the VMEM budget.
-_VMEM_BUDGET = int(14.5 * 1024 * 1024)
+_VMEM_BUDGET = int(15.9 * 1024 * 1024)
 # DMA pipeline depth (outstanding HBM->VMEM chunk copies).
 _NBUF = 4
 
@@ -88,12 +91,14 @@ class _Plan:
     starts: tuple        # (n_chunks,) src row start (crop-relative)
     out_row0: tuple      # (n_chunks,) out-row window start (mult of 8)
     op3: int             # padded interleaved out lanes (mult of 128)
+    owp: int             # padded per-channel out lanes (mult of 128)
     n_xblocks: int
     xband: int           # BW: padded horizontal band (multiple of 128)
     xstarts: tuple       # (n_xblocks,) src lane band start (mult of 128)
     wy: np.ndarray       # (2, n_chunks, RW, CH) bf16 hi/lo
     wx: np.ndarray       # (2, n_xblocks, BW, 128) bf16 hi/lo
     vmem_bytes: int
+    nbuf: int            # DMA pipeline depth (outstanding chunk copies)
 
 
 @functools.lru_cache(maxsize=64)
@@ -101,20 +106,50 @@ def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
           oh: int, ow: int) -> _Plan | None:
     """Build the banded weight tables.  Returns None if unsupported.
 
-    The DMA chunk height adapts downward for wide frames (the f32
-    accumulator spans the full interleaved width, so e.g. 2560-wide
-    sources only fit VMEM with smaller chunk buffers) and for short
-    crops.
+    The DMA chunk height minimizes a measured cost model: every chunk
+    re-reads up to 8 alignment rows and the clamped last chunk re-reads
+    its overlap with the previous one, so a candidate costs
+    ``n_chunks * (chunk + 8)`` DMA'd rows — plus ~48 rows' worth of
+    per-grid-step overhead (~0.7 us/step measured on v5e, which is why
+    minimum-traffic short chunks lose to taller ones).  Ties prefer
+    taller chunks; VMEM-overflowing candidates (wide frames: the f32
+    accumulator spans the full interleaved width) fall through to the
+    next best, first shedding DMA pipeline depth (nbuf).
     """
-    for chunk in (128, 96, 64, 48, 32):
-        p = _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow, chunk)
+    if ch <= 0:
+        return None
+    # Cost of a candidate: DMA'd rows nc*(chunk+8) plus a per-grid-step
+    # penalty (measured ~0.7 us/step on v5e ≈ the DMA time of ~48 rows
+    # at 1080p width — taller chunks beat minimum-traffic ones).
+    # Chunk heights stay multiples of 8: the HBM row slice (chunk + 8
+    # rows) must be aligned to the i8 (8, 128) tiling.  Shallow DMA
+    # pipelines expose per-step copy latency (measured: nbuf=2 costs
+    # ~28% at 1080p), so candidates are ranked with an nbuf-dependent
+    # multiplier rather than preferring traffic alone.
+    cands = sorted(
+        (
+            (chunk, nbuf)
+            for chunk in range(32, min(225, max(ch, 33)), 8)
+            for nbuf in (4, 3, 2)
+        ),
+        key=lambda cn: (
+            -(-ch // cn[0])
+            * (cn[0] + 8 + 48)
+            * (1.0 + 0.15 * (4 - cn[1]) ** 2),
+            -cn[0],
+        ),
+    )
+    for chunk, nbuf in cands:
+        p = _plan_with_chunk(
+            h_img, w_img, left, cw, ch, oh, ow, chunk, nbuf
+        )
         if p is not None:
             return p
     return None
 
 
 def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
-                     chunk) -> _Plan | None:
+                     chunk, nbuf=_NBUF) -> _Plan | None:
     w3 = w_img * 3
     if left < 0 or cw <= 0 or ch <= 0 or left + cw > w_img or ch > h_img:
         return None         # crop must sit inside the frame
@@ -205,21 +240,27 @@ def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
                 wx[b, (left + t) * 3 + c - c0, i] = wx_full[o, t]
 
     rows = chunk + 8
+    owp = _ceil_to(ow, _LANE)
+    wx_hl = _split_hi_lo(wx)
     vmem = (
         oh * w3 * 4                      # f32 accumulator
-        + _NBUF * rows * w3              # pipelined u8 chunk buffers
+        + nbuf * rows * w3               # pipelined u8 chunk buffers
         + rows * w3 * 4                  # widen temporaries (i16+bf16)
         + row_win * rows * 2 * 2         # wy block (+pipeline copy)
-        + wx.size * 2                    # wx bands (bf16, hi half)
-        + oh * op3 * 4                   # out block
+        + wx_hl.nbytes // 2              # wx bands (bf16, hi half —
+                                         #   lo loads only on the CPU
+                                         #   interpret precise path)
+        + oh * op3 * 4                   # interleaved-result scratch
+        + 3 * oh * owp * 4               # planar out block
         + oh * xband * 4                 # horizontal operand split temp
+        + op3 * _LANE * 10               # blocked deinterleave field
     )
     if vmem > _VMEM_BUDGET:
         return None
     return _Plan(
         n_chunks, chunk, row_win, tuple(starts), tuple(out0),
-        op3, n_xblocks, xband, tuple(xstarts),
-        _split_hi_lo(wy), _split_hi_lo(wx), vmem,
+        op3, owp, n_xblocks, xband, tuple(xstarts),
+        _split_hi_lo(wy), wx_hl, vmem, nbuf,
     )
 
 
@@ -236,11 +277,11 @@ def _kernel(
     # inputs
     src_hbm, wy_ref, wx_ref,
     # outputs
-    out_ref, stats_ref,
+    out_ref,
     # scratch
-    acc, buf, sem,
+    acc, rib, buf, sem,
     *, plan: _Plan, oh: int, ow: int, trunc_u8: bool, precise: bool,
-    stage: int = 3,
+    do_norm: bool, mean_s, std_s,
 ):
     nj = plan.n_chunks
     f = pl.program_id(0)
@@ -261,26 +302,27 @@ def _kernel(
             sem.at[slot],
         )
 
-    # Keep _NBUF DMAs in flight across grid steps: the chunks are a
-    # few hundred KB each, so a single outstanding copy leaves the
+    # Keep plan.nbuf DMAs in flight across grid steps: the chunks are
+    # a few hundred KB each, so a single outstanding copy leaves the
     # stream issue-latency-bound far below HBM bandwidth.
+    nbuf = plan.nbuf
     n_total = pl.num_programs(0) * nj
 
     @pl.when(step == 0)
     def _():
-        # Warm-up: issue the first _NBUF-1 copies (static indices).
-        for k in range(_NBUF - 1):
+        # Warm-up: issue the first nbuf-1 copies (static indices).
+        for k in range(nbuf - 1):
             @pl.when(k < n_total)
             def _():
-                dma(k % _NBUF, k // nj, k % nj).start()
+                dma(k % nbuf, k // nj, k % nj).start()
 
-    nxt = step + _NBUF - 1
+    nxt = step + nbuf - 1
 
     @pl.when(nxt < n_total)
     def _():
-        dma(nxt % _NBUF, nxt // nj, nxt % nj).start()
+        dma(nxt % nbuf, nxt // nj, nxt % nj).start()
 
-    dma(step % _NBUF, f, j).wait()
+    dma(step % nbuf, f, j).wait()
 
     @pl.when(j == 0)
     def _():
@@ -289,29 +331,21 @@ def _kernel(
     # Vertical banded pass: (RW, CH) @ (CH, W*3) into the out-row
     # window.  u8 is exact in bf16 (≤8 significand bits); Mosaic has
     # no direct u8→float cast, so widen via int32.
-    if stage >= 1:
-        # u8→i16→bf16 is the cheapest exact widen Mosaic lowers
-        # (no direct u8→float cast); u8 ≤ 255 is exact in bf16.
-        chunk = buf[step % _NBUF].astype(jnp.int16).astype(jnp.bfloat16)
-    if stage >= 2:
-        part = _dot(wy_ref[0, 0, 0], chunk)
-        if precise:
-            part += _dot(wy_ref[1, 0, 0], chunk)
-        r0 = pl.multiple_of(out0_ref[j], 8)
-        acc[pl.ds(r0, plan.row_win), :] += part
-    elif stage == 1:
-        acc[0 : plan.row_win, :] += chunk[: plan.row_win].astype(jnp.float32)
+    # u8→i16→bf16 is the cheapest exact widen Mosaic lowers
+    # (no direct u8→float cast); u8 ≤ 255 is exact in bf16.  (A
+    # column-split variant that halved the widen temporaries measured
+    # ~6% slower end-to-end — one full-width dot wins.)
+    chunk = buf[step % nbuf].astype(jnp.int16).astype(jnp.bfloat16)
+    part = _dot(wy_ref[0, 0, 0], chunk)
+    if precise:
+        part += _dot(wy_ref[1, 0, 0], chunk)
+    r0 = pl.multiple_of(out0_ref[j], 8)
+    acc[pl.ds(r0, plan.row_win), :] += part
 
-    # Frame's last chunk: horizontal banded pass + trunc + moments.
+    # Frame's last chunk: horizontal banded pass + trunc + deinterleave
+    # + moments + normalize, all in VMEM; write the planar block.
     @pl.when(j == nj - 1)
     def _():
-        if stage < 3:
-            for b in range(plan.n_xblocks):
-                out_ref[0, :, b * _LANE : (b + 1) * _LANE] = acc[
-                    :, b * _LANE : (b + 1) * _LANE
-                ]
-            stats_ref[0] = jnp.zeros((8, _LANE), jnp.float32)
-            return
         for b in range(plan.n_xblocks):  # static unroll
             c0 = plan.xstarts[b]
             a = acc[:, c0 : c0 + plan.xband]
@@ -322,28 +356,53 @@ def _kernel(
                 out += _dot(ahi, wx_ref[1, b])
                 out += _dot(alo, wx_ref[0, b])
                 out += _dot(alo, wx_ref[1, b])
-            out_ref[0, :, b * _LANE : (b + 1) * _LANE] = out
-        r = out_ref[0]
+            rib[:, b * _LANE : (b + 1) * _LANE] = out
+        r = rib[...]
         if trunc_u8:
             # vacv fixed-point parity: Q22 truncation on non-negative
             # data == floor (resize_naive.cpp:61-64); epsilon absorbs
             # f32 rounding of exactly-representable sums.
             r = jnp.clip(jnp.floor(r + 1e-4), 0.0, 255.0)
-            out_ref[0] = r
-        # Per-channel moments over the interleaved lanes, all in VMEM.
-        lanes = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
-        cid = lanes % 3
-        valid = lanes < ow * 3
+        # HWC→CHW deinterleave as 0/1 selection matmuls: G[s, o] picks
+        # interleaved lane s = o*3+c for out pixel o of channel c,
+        # built per 128-lane output block to bound the field
+        # temporaries.  For the truncated-u8 path r holds 8-bit
+        # integers, so one DEFAULT bf16 MXU pass is exact; the f32
+        # path Dekker-splits r when ``precise`` (CPU differential
+        # tests).  Raw planes land in the out block; stats + the
+        # normalize scale then run in place.
         n = float(oh * ow)
-        sl = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 1)
-        stats = jnp.zeros((8, _LANE), jnp.float32)
+        exact_bf16 = trunc_u8 or not precise
+        fdt = jnp.bfloat16
+        rhi = r.astype(fdt)
+        if not exact_bf16:
+            rlo = (r - rhi.astype(jnp.float32)).astype(fdt)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (plan.op3, _LANE), 0)
+        tb = jax.lax.broadcasted_iota(jnp.int32, (plan.op3, _LANE), 1)
         for c in range(3):
-            m = ((cid == c) & valid).astype(jnp.float32)
-            mu = jnp.sum(r * m) / n
-            var = jnp.sum(jnp.square((r - mu) * m)) / n
-            stats += jnp.where(sl == c, mu, 0.0)
-            stats += jnp.where(sl == 3 + c, jnp.sqrt(var), 0.0)
-        stats_ref[0] = stats
+            for ob in range(plan.owp // _LANE):
+                to = tb + ob * _LANE
+                G = ((rr == to * 3 + c) & (to < ow)).astype(fdt)
+                blk = _dot(rhi, G)
+                if not exact_bf16:
+                    blk += _dot(rlo, G)
+                wblk = min(_LANE, ow - ob * _LANE)
+                out_ref[0, c, :, ob * _LANE : ob * _LANE + wblk] = blk[
+                    :, :wblk
+                ]
+            if do_norm:
+                plane = out_ref[0, c]
+                if mean_s is None:
+                    mu = jnp.sum(plane) / n
+                else:
+                    mu = jnp.float32(mean_s[c])
+                if std_s is None:
+                    m_self = mu if mean_s is None else jnp.sum(plane) / n
+                    d = plane - m_self
+                    sd = jnp.sqrt(jnp.sum(d * d) / n)
+                else:
+                    sd = jnp.float32(std_s[c])
+                out_ref[0, c] = (plane - mu) / (sd + EPS)
 
 
 @functools.lru_cache(maxsize=64)
@@ -364,16 +423,18 @@ def _plan_tables(key, precise: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("left", "cw", "ch", "oh", "ow", "trunc_u8",
-                     "precise", "interpret", "stage"),
+                     "precise", "interpret", "do_norm", "mean_s",
+                     "std_s"),
 )
 def _call(batch, top, wy_arr, wx_arr, starts_arr, out0_arr, *, left, cw,
-          ch, oh, ow, trunc_u8, precise, interpret, stage=3):
+          ch, oh, ow, trunc_u8, precise, interpret, do_norm=True,
+          mean_s=None, std_s=None):
     n, h, w, _ = batch.shape
     plan = _plan(h, w, left, cw, ch, oh, ow)
     src = batch.reshape(n, h, w * 3)
     kern = functools.partial(
         _kernel, plan=plan, oh=oh, ow=ow, trunc_u8=trunc_u8,
-        precise=precise, stage=stage,
+        precise=precise, do_norm=do_norm, mean_s=mean_s, std_s=std_s,
     )
     rows = plan.chunk_rows + 8
 
@@ -399,26 +460,22 @@ def _call(batch, top, wy_arr, wx_arr, starts_arr, out0_arr, *, left, cw,
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, oh, plan.op3), lambda f, j, *_: (f, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 8, _LANE), lambda f, j, *_: (f, 0, 0),
+                (1, 3, oh, ow), lambda f, j, *_: (f, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         scratch_shapes=[
             pltpu.VMEM((oh, w * 3), jnp.float32),
-            pltpu.VMEM((_NBUF, rows, w * 3), jnp.uint8),
-            pltpu.SemaphoreType.DMA((_NBUF,)),
+            pltpu.VMEM((oh, plan.op3), jnp.float32),
+            pltpu.VMEM((plan.nbuf, rows, w * 3), jnp.uint8),
+            pltpu.SemaphoreType.DMA((plan.nbuf,)),
         ],
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n, oh, plan.op3), jnp.float32),
-            jax.ShapeDtypeStruct((n, 8, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n, 3, oh, ow), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -436,6 +493,23 @@ def plan_supported(h, w, left, cw, ch, oh, ow) -> bool:
     return _plan(h, w, left, cw, ch, oh, ow) is not None
 
 
+def _static_stats(v):
+    """Return stats as a static 3-tuple of floats, or None.
+
+    Raises TypeError for traced/jax-array stats — the kernel bakes the
+    scale constants into the compiled program (the production case:
+    dataset constants like ImageNet's), so they must be concrete.
+    """
+    if v is None:
+        return None
+    if isinstance(v, jax.core.Tracer) or isinstance(v, jax.Array):
+        v = np.asarray(jax.device_get(v))  # raises under trace
+    arr = np.asarray(v, np.float32).reshape(-1)
+    if arr.size == 1:
+        arr = np.repeat(arr, 3)
+    return tuple(float(x) for x in arr[:3])
+
+
 def preprocess_fused_batch(
     batch,
     crop_rect=None,
@@ -447,14 +521,15 @@ def preprocess_fused_batch(
     normalize=True,
     trunc_u8=True,
     precise=False,
-    stage=3,
 ):
     """Fused crop→resize→CHW→f32→normalize over a (N, H, W, 3) u8 batch.
 
     ``crop_rect``: VRect-like (static); ``top`` optionally overrides the
-    rect's top with a *runtime* scalar (same row count).  Returns
-    (N, 3, oh, ow) f32.  Raises ValueError for unsupported configs
-    (callers fall back to the jnp pipeline).
+    rect's top with a *runtime* scalar (same row count).  ``mean`` /
+    ``stddev`` are static per-channel constants (None → per-image
+    self-stats computed in-kernel).  Returns (N, 3, oh, ow) f32.
+    Raises ValueError for unsupported configs (callers fall back to
+    the jnp pipeline).
     """
     if batch.dtype != jnp.uint8 or batch.ndim != 4 or batch.shape[-1] != 3:
         raise ValueError("fused preprocess needs (N, H, W, 3) uint8")
@@ -472,34 +547,14 @@ def preprocess_fused_batch(
     wy_arr, wx_arr, starts_arr, out0_arr = _plan_tables(
         (h, w, left, cw, ch, oh, ow), precise
     )
-    res, stats = _call(
+    (res,) = _call(
         batch,
         top0 if top is None else top,
         wy_arr, wx_arr, starts_arr, out0_arr,
         left=left, cw=cw, ch=ch, oh=oh, ow=ow,
-        trunc_u8=trunc_u8, precise=precise, stage=stage,
+        trunc_u8=trunc_u8, precise=precise,
+        do_norm=bool(normalize),
+        mean_s=_static_stats(mean), std_s=_static_stats(stddev),
         interpret=config.pallas_interpret(),
     )
-    # Fused XLA epilogue on the tiny output: deinterleave HWC→CHW and
-    # apply the normalize scale.
-    out = jnp.transpose(
-        res[:, :, : ow * 3].reshape(n, oh, ow, 3), (0, 3, 1, 2)
-    )
-    if not normalize:
-        return out
-    # Per-channel stats from the kernel fill whichever side the caller
-    # didn't supply (the reference's empty-tensor convention, honored
-    # partially like normalize_jnp does).
-    if mean is None:
-        m = stats[:, 0, 0:3, None, None]
-    else:
-        m = jnp.broadcast_to(
-            jnp.asarray(mean, jnp.float32).reshape(-1)[:3], (3,)
-        )[None, :, None, None]
-    if stddev is None:
-        s = stats[:, 0, 3:6, None, None]
-    else:
-        s = jnp.broadcast_to(
-            jnp.asarray(stddev, jnp.float32).reshape(-1)[:3], (3,)
-        )[None, :, None, None]
-    return (out - m) / (s + EPS)
+    return res
