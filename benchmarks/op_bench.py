@@ -194,9 +194,9 @@ def build_tests(sizes):
         def wwin(b, i, hh=h, ww=w):
             return lax.dynamic_slice(b, (8 * (i % 2), 0, 0), (hh - 8, ww, 3))
 
-        def wa_step(i, b, mm=m, hh=h, ww=w):
+        def wa_step(i, b, mm=m, hh=h, ww=w, win=wwin):
             return vc.warp_affine(
-                vc.Image(wwin(b, i), Layout.HWC), mm, (ww // 2, hh // 2)).data
+                vc.Image(win(b, i), Layout.HWC), mm, (ww // 2, hh // 2)).data
 
         tests.append(TestFuncInfo(
             f"warp_affine_{name}",

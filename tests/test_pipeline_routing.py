@@ -97,13 +97,23 @@ def test_explicit_stats_route_through_fused(rng):
 
 
 def test_normalize_dispatcher_reaches_pallas_kernel(rng):
-    """Standalone normalize (dispatcher) serves the fused kernel."""
-    x = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    """Standalone normalize (dispatcher) serves the fused kernel for
+    the measured-win case: float CHW (the pipeline's post-conversion
+    layout).  HWC and u8 inputs route to the XLA path by measurement
+    (see the dispatcher comment in ops/normalize.py)."""
+    x = rng.integers(0, 256, size=(3, 48, 64)).astype(np.float32)
+    img = vc.Image(np.ascontiguousarray(x), vc.CHW)
     with config.backend("pallas"):
         before = config.kernel_count("normalize_fused")
-        out = vc.normalize(x)
+        out = vc.normalize(img)
         assert config.kernel_count("normalize_fused") > before
-    ref = vc.normalize(x)  # auto backend on CPU = jnp
+    ref = vc.normalize(img)  # auto backend on CPU = jnp
     np.testing.assert_allclose(
         np.asarray(out.data), np.asarray(ref.data), atol=1e-4
     )
+    # u8 HWC routes to jnp (no kernel count increase).
+    y = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    with config.backend("pallas"):
+        before = config.kernel_count("normalize_fused")
+        vc.normalize(y)
+        assert config.kernel_count("normalize_fused") == before

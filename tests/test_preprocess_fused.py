@@ -110,6 +110,19 @@ def test_fused_explicit_stats(rng):
     assert np.max(np.abs(got - want)) < 0.05
 
 
+def test_fused_partial_stats(rng):
+    """mean given, stddev self-computed (in-kernel, around the
+    self-mean — matching normalize_jnp's partial-stats convention)."""
+    batch = make_batch(rng, n=1)
+    mean = (104.0, 117.0, 123.0)
+    got = np.asarray(
+        preprocess_fused_batch(batch, RECT, OUT, mean=mean, precise=True)
+    )
+    want = jnp_pipeline(batch, RECT, OUT, mean=mean)
+    assert abs(cosine_similarity(got, want) - 1) < 1e-6
+    assert np.max(np.abs(got - want)) < 0.05
+
+
 def test_fused_runtime_top(rng):
     """A traced ``top`` must give the same result as the static rect."""
     batch = make_batch(rng, n=1)

@@ -62,7 +62,19 @@ def normalize(src, mean=None, stddev=None) -> Image:
     (the reference's empty-tensor convention).
     """
     img = as_image(src)
-    if config.use_pallas() and mean is None and stddev is None and img.data.ndim == 3:
+    # Measurement-driven routing (1080p, v5e): XLA's fused reductions
+    # win for HWC (either dtype: lane-interleaved channels cost the
+    # kernel selection matmuls XLA avoids) and for u8 CHW (39 vs
+    # 51 us); the pallas two-phase kernel wins for float CHW — the
+    # pipeline case, normalize after CHW+f32 conversion (81 vs 107 us).
+    if (
+        config.use_pallas()
+        and mean is None
+        and stddev is None
+        and img.data.ndim == 3
+        and img.layout == Layout.CHW
+        and img.data.dtype != jnp.uint8
+    ):
         from .pallas.normalize import normalize_fused_pallas
 
         return normalize_fused_pallas(img)

@@ -46,7 +46,8 @@ _CHUNK_BUDGET = 6 * 1024 * 1024
 
 
 def _chunk_rows(rows: int, lanes: int) -> int:
-    per_row = lanes * 9
+    # u8 in + f32 widen + f32 out + hi/lo bf16 dot operands ≈ 13 B/px.
+    per_row = lanes * 13
     ch = max(32, min(rows, _CHUNK_BUDGET // max(per_row, 1)))
     return -(-ch // 32) * 32 if ch < rows else rows
 
@@ -111,28 +112,60 @@ def _chw_kernel(x_ref, out_ref, part_ref, stat_ref, *, h, nj, chunk):
         out_ref[0] = (x - stat_ref[ci, 0]) / (stat_ref[ci, 1] + EPS)
 
 
-def _hwc_kernel(x_ref, out_ref, part_ref, stat_ref, *, h, c, nj, chunk):
+def _hwc_kernel(x_ref, m_ref, out_ref, part_ref, stat_ref, *, h, c, nj,
+                chunk, u8_exact):
+    """Interleaved-HWC kernel.  The per-channel reductions run as 0/1
+    lane-selection MXU matmuls (``M[l, k] = (l % c == k)``) instead of
+    per-channel masked sums — the masked form was VPU-bound (~9 full
+    passes over each chunk; measured 2.7× slower than jnp at 1080p).
+    Dots are Dekker-split (hi/lo bf16), exact to f32 accumulation."""
     p = pl.program_id(0)
     j = pl.program_id(1)
     lanes = x_ref.shape[1]
     rows_left = h - j * chunk
     rr = jax.lax.broadcasted_iota(jnp.int32, (chunk, lanes), 0)
-    cid = jax.lax.broadcasted_iota(jnp.int32, (chunk, lanes), 1) % c
     valid = (rr < rows_left).astype(jnp.float32)
+    cl_row = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1) % c
+
+    def csum(v, exact_bf16):
+        """(chunk, lanes) → (chunk, 128) per-channel row partial sums
+        via the 0/1 lane-selection matrix input (m_ref)."""
+        vhi = v.astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            vhi, m_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if not exact_bf16:
+            vlo = (v - vhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            s += jax.lax.dot_general(
+                vlo, m_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return s
+
+    def lane_field(scalars):
+        """Spread c per-channel scalars to a (1, lanes) row."""
+        row = jnp.zeros((1, lanes), jnp.float32)
+        for cc in range(c):
+            row = jnp.where(cl_row == cc, scalars[cc], row)
+        return row
 
     @pl.when(p == 0)
     def _():
-        x = _widen(x_ref[:]) * valid
+        xv = _widen(x_ref[:]) * valid
         n = (
             jnp.minimum(rows_left, chunk).astype(jnp.float32) * lanes / c
         )
+        s = csum(xv, u8_exact)  # u8 inputs are exact in bf16
+        # Full reductions of rank-2 column slices — Mosaic rejects the
+        # partial-axis reduction of a 1-D lane-column extract.
+        mcs = [jnp.sum(s[:, cc : cc + 1]) / n for cc in range(c)]
+        d = (xv - lane_field(mcs) * valid)
+        s2 = csum(d * d, False)
         for cc in range(c):  # static unroll over channels
-            m = (cid == cc).astype(jnp.float32) * valid
-            mc = jnp.sum(x * m) / n
-            d = (x - mc) * m
             part_ref[cc, j, 0] = n
-            part_ref[cc, j, 1] = mc
-            part_ref[cc, j, 2] = jnp.sum(d * d)
+            part_ref[cc, j, 1] = mcs[cc]
+            part_ref[cc, j, 2] = jnp.sum(s2[:, cc : cc + 1])
 
     @pl.when((p == 1) & (j == 0))
     def _():
@@ -158,12 +191,8 @@ def _hwc_kernel(x_ref, out_ref, part_ref, stat_ref, *, h, c, nj, chunk):
     @pl.when(p == 1)
     def _():
         x = _widen(x_ref[:])
-        mu = jnp.zeros((chunk, lanes), jnp.float32)
-        sd = jnp.zeros((chunk, lanes), jnp.float32)
-        for cc in range(c):
-            sel = cid == cc
-            mu = jnp.where(sel, stat_ref[cc, 0], mu)
-            sd = jnp.where(sel, stat_ref[cc, 1], sd)
+        mu = lane_field([stat_ref[cc, 0] for cc in range(c)])
+        sd = lane_field([stat_ref[cc, 1] for cc in range(c)])
         out_ref[:] = (x - mu) / (sd + EPS)
 
 
@@ -198,19 +227,34 @@ def _call_chw(planes, *, interpret: bool):
     )(planes)
 
 
-@functools.partial(jax.jit, static_argnames=("c", "interpret"))
-def _call_hwc(rows, *, c: int, interpret: bool):
+@functools.lru_cache(maxsize=16)
+def _sel_matrix(lanes: int, c: int):
+    """Device-resident (lanes, 128) 0/1 lane→channel selection matrix,
+    built outside any trace (a lifted parameter, not an HLO literal)."""
+    import numpy as np
+
+    m = np.zeros((lanes, 128), np.float32)
+    m[np.arange(lanes), np.arange(lanes) % c] = 1.0
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(m, jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "u8_exact", "interpret"))
+def _call_hwc(rows, *, c: int, u8_exact: bool, interpret: bool):
     h, lanes = rows.shape
     chunk = _chunk_rows(h, lanes)
     nj = pl.cdiv(h, chunk)
-    kern = functools.partial(_hwc_kernel, h=h, c=c, nj=nj, chunk=chunk)
+    kern = functools.partial(
+        _hwc_kernel, h=h, c=c, nj=nj, chunk=chunk, u8_exact=u8_exact
+    )
     return pl.pallas_call(
         kern,
         grid=(2, nj),
         in_specs=[
             pl.BlockSpec(
                 (chunk, lanes), lambda p, j: (j, 0), memory_space=pltpu.VMEM
-            )
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (chunk, lanes), lambda p, j: (j * p, 0), memory_space=pltpu.VMEM
@@ -221,7 +265,7 @@ def _call_hwc(rows, *, c: int, interpret: bool):
             pltpu.SMEM((c, 2), jnp.float32),
         ],
         interpret=interpret,
-    )(rows)
+    )(rows, _sel_matrix(lanes, c))
 
 
 def normalize_fused_pallas(img: Image) -> Image:
@@ -231,7 +275,10 @@ def normalize_fused_pallas(img: Image) -> Image:
     interp = config.pallas_interpret()
     if img.layout == Layout.HWC:
         h, w, c = data.shape
-        out = _call_hwc(data.reshape(h, w * c), c=c, interpret=interp)
+        out = _call_hwc(
+            data.reshape(h, w * c), c=c,
+            u8_exact=data.dtype == jnp.uint8, interpret=interp,
+        )
         return img.with_data(out.reshape(h, w, c))
     out = _call_chw(data, interpret=interp)
     return img.with_data(out)

@@ -80,20 +80,26 @@ def _kernel(y_ref, vu_ref, b_ref, g_ref, r_ref, *, is_nv12: bool):
 def _call(y_plane, vu_plane, *, is_nv12: bool, interpret: bool):
     h, w = y_plane.shape
     h2 = (h + 1) // 2  # chroma rows; ceil covers odd Y heights
-    t = min(128, h2)
-    # The grid must divide evenly: pad the chroma-row axis up to a
-    # multiple of t (garbage rows are sliced off after the kernel —
-    # for odd h this includes the phantom last Y row, the TPU form of
-    # the reference's zerobuf/writebuf trick, cvt_color.cpp:52-66).
-    h2p = pl.cdiv(h2, t) * t
     y2 = y_plane
-    vu = vu_plane
-    if 2 * h2p != h:
-        y2 = jnp.pad(y2, ((0, 2 * h2p - h), (0, 0)))
-    if h2p != vu.shape[0]:
-        vu = jnp.pad(vu, ((0, h2p - vu.shape[0]), (0, 0)))
-    grid = (h2p // t,)
-    out_shape = jax.ShapeDtypeStruct((2 * h2p, w), jnp.uint8)
+    if h % 2:
+        # One phantom Y row pairs the final odd row with the last
+        # chroma row — the TPU form of the reference's zerobuf/writebuf
+        # scratch-row trick (cvt_color.cpp:52-66).
+        y2 = jnp.pad(y2, ((0, 1), (0, 0)))
+    if vu_plane.shape[0] < h2:
+        vu_plane = jnp.pad(
+            vu_plane, ((0, h2 - vu_plane.shape[0]), (0, 0))
+        )
+    # Pallas masks partial last blocks natively, so a ragged grid needs
+    # NO plane-wide pad (an earlier design padded the chroma rows to a
+    # multiple of t, which materialized a copy of the whole Y plane —
+    # e.g. 1080p h2=540 → 640 copied Y to 1280 rows, ~30% of the
+    # kernel's wall time).  Block rule: sublane dim divisible by 8 or
+    # equal to the array dim — t=128 (and 2t=256) satisfies it; small
+    # frames use t=h2 (the full array).
+    t = min(128, h2)
+    grid = (pl.cdiv(h2, t),)
+    out_shape = jax.ShapeDtypeStruct((2 * h2, w), jnp.uint8)
     kernel = functools.partial(_kernel, is_nv12=is_nv12)
     b, g, r = pl.pallas_call(
         kernel,
@@ -107,8 +113,10 @@ def _call(y_plane, vu_plane, *, is_nv12: bool, interpret: bool):
         ] * 3,
         out_shape=[out_shape] * 3,
         interpret=interpret,
-    )(y2, vu)
-    return b[:h], g[:h], r[:h]
+    )(y2, vu_plane)
+    if 2 * h2 != h:
+        return b[:h], g[:h], r[:h]
+    return b, g, r
 
 
 def nv_to_bgr_pallas(y_plane, vu_plane, *, is_nv12: bool):
