@@ -353,12 +353,12 @@ def _call(planes, *, m, h_out, w_out, u8, bv, interpret):
                 planes, ((0, 0), (0, h_pad - h_in), (0, w_pad - w_in))
             )
 
-    # Tile height: the per-tile row band rh ~ |m3|*l + |m4|*t grows
-    # with t, and total selection-dot MACs scale with rh — so prefer
-    # the SMALLEST tile that keeps per-tile overheads amortized (t=8
-    # minimizes MACs; with the vertical pass vectorized and fields
-    # shared across channels the old tall-tile advantage is gone).
-    for t in (8, 16, 32):
+    # Tile height: taller tiles halve the grid-step count (per-step
+    # overhead ~0.7 us) while growing the per-tile row band rh and the
+    # selection-dot MACs.  Measured at 1080p u8: t=8 → 0.734 ms,
+    # t=16 → 0.678, t=32 → 0.677 — prefer 16, shed to 8 when its
+    # VMEM working set doesn't fit (large bands), then 32.
+    for t in (16, 8, 32):
         bh, bw, rh, cw = _band_sizes(m, t, l, h_pad, w_pad)
         if stream:
             rbh = _row_band_height(m, t, l, w_out, h_in, bh)
