@@ -58,3 +58,24 @@ def test_imencode_roundtrip(bgr_176x144):
     buf = vc.imencode(bgr_176x144, ".png")
     dec = cv2.imdecode(np.frombuffer(buf, np.uint8), 1)
     np.testing.assert_array_equal(dec, bgr_176x144)
+
+
+def test_resize_normalize_fused_kernel_route(bgr_640x360):
+    """The u8-HWC bilinear resize_normalize routes through the fused
+    Pallas preprocess kernel (640*3 lanes are 128-aligned) and matches
+    the jnp chain; unsupported widths fall back without error."""
+    from vacv_tpu import config
+
+    with config.backend("pallas"):
+        before = config.kernel_count("preprocess_fused")
+        out = vc.resize_normalize(bgr_640x360, (224, 224)).numpy()
+        assert config.kernel_count("preprocess_fused") > before
+    ref = vc.resize_normalize(bgr_640x360, (224, 224)).numpy()  # jnp
+    assert out.shape == ref.shape == (224, 224, 3)
+    assert abs(cosine_similarity(out, ref) - 1) < 1e-4
+    # 176-wide input (176*3 lanes not 128-aligned) -> jnp fallback.
+    src = bgr_640x360[:144, :176]
+    with config.backend("pallas"):
+        before = config.kernel_count("preprocess_fused")
+        vc.resize_normalize(np.ascontiguousarray(src), (64, 64))
+        assert config.kernel_count("preprocess_fused") == before

@@ -33,10 +33,61 @@ def resize_normalize(
     mean=None,
     stddev=None,
 ) -> Image:
-    """Parity: ``va_cv::resize_normalize`` (cv.h:154-158)."""
-    out = resize(src, dsize, fx, fy, interpolation)
+    """Parity: ``va_cv::resize_normalize`` (cv.h:154-158).
+
+    On TPU the u8-HWC bilinear case runs through the fused Pallas
+    preprocess kernel (one HBM read of the source; resize matmuls +
+    moments + scale in VMEM) with an XLA transpose back to the
+    caller's HWC layout; other configs use the XLA-fused jnp chain.
+    """
+    img = as_image(src)
+    fused = _resize_normalize_fused(img, dsize, fx, fy, interpolation,
+                                    mean, stddev)
+    if fused is not None:
+        return fused
+    out = resize(img, dsize, fx, fy, interpolation)
     out = change_dtype(out, jnp.float32)
     return normalize_jnp(out, mean, stddev)
+
+
+def _resize_normalize_fused(img, dsize, fx, fy, interpolation, mean,
+                            stddev):
+    """The fused-kernel route for resize_normalize, or None."""
+    from .. import config
+    from ..core.types import Layout
+
+    if not config.use_pallas():
+        return None
+    data = img.data
+    if (
+        img.layout != Layout.HWC
+        or data.ndim != 3
+        or data.shape[-1] != 3
+        or data.dtype != jnp.uint8
+        or InterMode(interpolation) != InterMode.INTER_LINEAR
+    ):
+        return None
+    h, w, _ = data.shape
+    if dsize is None or not tuple(dsize):
+        ow, oh = int(round(w * fx)), int(round(h * fy))
+    else:
+        ow, oh = int(dsize[0]), int(dsize[1])
+        if ow == 0 or oh == 0:
+            ow, oh = int(round(w * fx)), int(round(h * fy))
+    from .pallas.preprocess import plan_supported, preprocess_fused_batch
+
+    if not plan_supported(h, w, 0, w, h, oh, ow):
+        return None
+    try:
+        chw = preprocess_fused_batch(
+            data[None], None, (ow, oh), mean=mean, stddev=stddev,
+            # CPU interpret (tests) wants the Dekker-exact matmuls; on
+            # TPU plain bf16 matches the jnp chain's MXU numerics.
+            precise=config.pallas_interpret(),
+        )[0]
+    except (TypeError, ValueError):
+        return None  # traced/array stats etc. — jnp chain handles them
+    return Image(jnp.transpose(chw, (1, 2, 0)), Layout.HWC)
 
 
 def warp_affine_normalize(

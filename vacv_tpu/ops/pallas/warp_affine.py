@@ -170,9 +170,11 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, l, bh, bw, rh, cw,
         # fields are built once for every channel.
         def one(ci):
             if stream:
-                b = band_ref[
-                    ci, pl.ds(row_start - r0_row, nrows), pl.ds(c0, bw)
-                ]
+                # row_start and r0_row are both 8-aligned by
+                # construction; the hint survives the min/clip chains
+                # Mosaic's divisibility analysis loses.
+                off = pl.multiple_of(row_start - r0_row, 8)
+                b = band_ref[ci, pl.ds(off, nrows), pl.ds(c0, bw)]
             else:
                 b = src_ref[ci, pl.ds(row_start, nrows), pl.ds(c0, bw)]
             return (
