@@ -79,3 +79,52 @@ def test_resize_normalize_fused_kernel_route(bgr_640x360):
         before = config.kernel_count("preprocess_fused")
         vc.resize_normalize(np.ascontiguousarray(src), (64, 64))
         assert config.kernel_count("preprocess_fused") == before
+
+
+def test_resize_normalize_vsize_dsize_pallas_route(bgr_640x360):
+    """VSize dsize (the documented va_cv parity form) must work on the
+    fused-kernel route, not just tuples (advisor round-2 finding)."""
+    from vacv_tpu import config
+
+    with config.backend("pallas"):
+        out = vc.resize_normalize(bgr_640x360, vc.VSize(224, 224)).numpy()
+    ref = vc.resize_normalize(bgr_640x360, (224, 224)).numpy()
+    assert out.shape == (224, 224, 3)
+    assert abs(cosine_similarity(out, ref) - 1) < 1e-4
+
+
+def test_resize_normalize_zero_dsize_raises_cleanly(bgr_640x360):
+    """dsize=(0,0) with fx=fy=0 raises resize()'s documented ValueError
+    on every backend (not ZeroDivisionError from the fused planner)."""
+    import pytest
+    from vacv_tpu import config
+
+    for b in ("pallas", "jnp"):
+        with config.backend(b):
+            with pytest.raises(ValueError):
+                vc.resize_normalize(bgr_640x360, (0, 0))
+
+
+def test_fused_traced_stats_fall_back(bgr_640x360):
+    """Traced (non-concrete) mean/stddev can't be baked into the fused
+    kernel; the route must fall back to the jnp chain instead of
+    crashing with TypeError (advisor round-2 finding)."""
+    import jax
+    import jax.numpy as jnp
+    from vacv_tpu import config
+
+    src = jnp.asarray(bgr_640x360)
+
+    @jax.jit
+    def run(img, mean, std):
+        return vc.resize_normalize(img, (224, 224), mean=mean,
+                                   stddev=std).data
+
+    mean = jnp.asarray([104.0, 117.0, 123.0], jnp.float32)
+    std = jnp.asarray([57.0, 57.0, 58.0], jnp.float32)
+    with config.backend("pallas"):
+        out = np.asarray(run(src, mean, std))
+    ref = vc.resize_normalize(
+        bgr_640x360, (224, 224), mean=np.asarray(mean), stddev=np.asarray(std)
+    ).numpy()
+    assert abs(cosine_similarity(out, ref) - 1) < 1e-4

@@ -68,12 +68,16 @@ def _resize_normalize_fused(img, dsize, fx, fy, interpolation, mean,
     ):
         return None
     h, w, _ = data.shape
+    if isinstance(dsize, VSize):
+        dsize = (dsize.w, dsize.h)
     if dsize is None or not tuple(dsize):
         ow, oh = int(round(w * fx)), int(round(h * fy))
     else:
         ow, oh = int(dsize[0]), int(dsize[1])
         if ow == 0 or oh == 0:
             ow, oh = int(round(w * fx)), int(round(h * fy))
+    if ow <= 0 or oh <= 0:
+        return None  # let resize() raise its documented ValueError
     from .pallas.preprocess import plan_supported, preprocess_fused_batch
 
     if not plan_supported(h, w, 0, w, h, oh, ow):

@@ -103,7 +103,7 @@ class _Plan:
 
 @functools.lru_cache(maxsize=64)
 def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
-          oh: int, ow: int) -> _Plan | None:
+          oh: int, ow: int, precise: bool = False) -> _Plan | None:
     """Build the banded weight tables.  Returns None if unsupported.
 
     The DMA chunk height minimizes a measured cost model: every chunk
@@ -129,7 +129,9 @@ def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
     cands = sorted(
         (
             (chunk, nbuf)
-            for chunk in range(32, min(225, max(ch, 33)), 8)
+            # +1: a single whole-crop chunk (chunk == ch) must stay a
+            # candidate — crops of <= 224 rows can fit one chunk.
+            for chunk in range(32, min(225, max(ch + 1, 33)), 8)
             for nbuf in (4, 3, 2)
         ),
         key=lambda cn: (
@@ -141,7 +143,7 @@ def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
     )
     for chunk, nbuf in cands:
         p = _plan_with_chunk(
-            h_img, w_img, left, cw, ch, oh, ow, chunk, nbuf
+            h_img, w_img, left, cw, ch, oh, ow, chunk, nbuf, precise
         )
         if p is not None:
             return p
@@ -149,7 +151,7 @@ def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
 
 
 def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
-                     chunk, nbuf=_NBUF) -> _Plan | None:
+                     chunk, nbuf=_NBUF, precise=False) -> _Plan | None:
     w3 = w_img * 3
     if left < 0 or cw <= 0 or ch <= 0 or left + cw > w_img or ch > h_img:
         return None         # crop must sit inside the frame
@@ -246,10 +248,11 @@ def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
         oh * w3 * 4                      # f32 accumulator
         + nbuf * rows * w3               # pipelined u8 chunk buffers
         + rows * w3 * 4                  # widen temporaries (i16+bf16)
-        + row_win * rows * 2 * 2         # wy block (+pipeline copy)
-        + wx_hl.nbytes // 2              # wx bands (bf16, hi half —
-                                         #   lo loads only on the CPU
-                                         #   interpret precise path)
+        # wy block (+pipeline copy); the precise path streams both the
+        # hi and lo Dekker halves, doubling the block.
+        + row_win * rows * 2 * 2 * (2 if precise else 1)
+        # wx bands (bf16): hi half only unless precise loads hi + lo.
+        + wx_hl.nbytes // (1 if precise else 2)
         + oh * op3 * 4                   # interleaved-result scratch
         + 3 * oh * owp * 4               # planar out block
         + oh * xband * 4                 # horizontal operand split temp
@@ -411,7 +414,7 @@ def _plan_tables(key, precise: bool):
     any jit trace: closed-over device arrays become lifted parameters
     of the compiled executable instead of multi-MB HLO literals (which
     bloat compile time on the remote compile service)."""
-    plan = _plan(*key)
+    plan = _plan(*key, precise)
     with jax.ensure_compile_time_eval():  # concrete even under a trace
         wy = jnp.asarray(plan.wy if precise else plan.wy[:1])
         wx = jnp.asarray(plan.wx if precise else plan.wx[:1])
@@ -430,7 +433,7 @@ def _call(batch, top, wy_arr, wx_arr, starts_arr, out0_arr, *, left, cw,
           ch, oh, ow, trunc_u8, precise, interpret, do_norm=True,
           mean_s=None, std_s=None):
     n, h, w, _ = batch.shape
-    plan = _plan(h, w, left, cw, ch, oh, ow)
+    plan = _plan(h, w, left, cw, ch, oh, ow, precise)
     src = batch.reshape(n, h, w * 3)
     kern = functools.partial(
         _kernel, plan=plan, oh=oh, ow=ow, trunc_u8=trunc_u8,
@@ -503,7 +506,12 @@ def _static_stats(v):
     if v is None:
         return None
     if isinstance(v, jax.core.Tracer) or isinstance(v, jax.Array):
-        v = np.asarray(jax.device_get(v))  # raises under trace
+        try:
+            v = np.asarray(jax.device_get(v))
+        except Exception as e:  # traced under jit — not concretizable
+            raise ValueError(
+                "fused preprocess needs concrete (static) mean/stddev"
+            ) from e
     arr = np.asarray(v, np.float32).reshape(-1)
     if arr.size == 1:
         arr = np.repeat(arr, 3)
@@ -541,7 +549,7 @@ def preprocess_fused_batch(
         cw = int(crop_rect.width())
         ch = int(crop_rect.height())
     ow, oh = int(out_size[0]), int(out_size[1])
-    if _plan(h, w, left, cw, ch, oh, ow) is None:
+    if _plan(h, w, left, cw, ch, oh, ow, precise) is None:
         raise ValueError("config not supported by the fused kernel")
     config.record_kernel("preprocess_fused")
     wy_arr, wx_arr, starts_arr, out0_arr = _plan_tables(
