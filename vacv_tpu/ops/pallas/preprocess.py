@@ -413,8 +413,11 @@ def _plan_tables(key, precise: bool):
     """Device-resident weight tables for a plan, materialized OUTSIDE
     any jit trace: closed-over device arrays become lifted parameters
     of the compiled executable instead of multi-MB HLO literals (which
-    bloat compile time on the remote compile service)."""
-    plan = _plan(*key, precise)
+    bloat compile time on the remote compile service).
+
+    ``key`` is the full plan key (incl. its precise-VMEM flag);
+    ``precise`` separately selects whether the lo Dekker halves load."""
+    plan = _plan(*key)
     with jax.ensure_compile_time_eval():  # concrete even under a trace
         wy = jnp.asarray(plan.wy if precise else plan.wy[:1])
         wx = jnp.asarray(plan.wx if precise else plan.wx[:1])
@@ -433,7 +436,10 @@ def _call(batch, top, wy_arr, wx_arr, starts_arr, out0_arr, *, left, cw,
           ch, oh, ow, trunc_u8, precise, interpret, do_norm=True,
           mean_s=None, std_s=None):
     n, h, w, _ = batch.shape
-    plan = _plan(h, w, left, cw, ch, oh, ow, precise)
+    # precise doubles the streamed weight blocks, shrinking the VMEM
+    # headroom — but only on a real device; interpret mode (CPU tests)
+    # has no VMEM, so it must not change the plan.
+    plan = _plan(h, w, left, cw, ch, oh, ow, precise and not interpret)
     src = batch.reshape(n, h, w * 3)
     kern = functools.partial(
         _kernel, plan=plan, oh=oh, ow=ow, trunc_u8=trunc_u8,
@@ -549,11 +555,12 @@ def preprocess_fused_batch(
         cw = int(crop_rect.width())
         ch = int(crop_rect.height())
     ow, oh = int(out_size[0]), int(out_size[1])
-    if _plan(h, w, left, cw, ch, oh, ow, precise) is None:
+    pv = precise and not config.pallas_interpret()
+    if _plan(h, w, left, cw, ch, oh, ow, pv) is None:
         raise ValueError("config not supported by the fused kernel")
     config.record_kernel("preprocess_fused")
     wy_arr, wx_arr, starts_arr, out0_arr = _plan_tables(
-        (h, w, left, cw, ch, oh, ow), precise
+        (h, w, left, cw, ch, oh, ow, pv), precise
     )
     (res,) = _call(
         batch,
