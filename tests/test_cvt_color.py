@@ -132,3 +132,51 @@ def test_nv21_odd_height_pallas_interpret(rng):
 def test_nv_odd_width_rejected(rng):
     with pytest.raises(ValueError):
         vc.cvt_color(np.zeros((36, 25), np.uint8), vc.COLOR_YUV2BGR_NV21)
+
+
+# ---- common channel-shuffle / gray codes (OpenCV family 0-11) ----------
+
+_SHUFFLE_CODES = [
+    ("COLOR_BGR2BGRA", 3),
+    ("COLOR_BGRA2BGR", 4),
+    ("COLOR_BGR2RGBA", 3),
+    ("COLOR_RGBA2BGR", 4),
+    ("COLOR_BGR2RGB", 3),
+    ("COLOR_BGRA2RGBA", 4),
+    ("COLOR_BGR2GRAY", 3),
+    ("COLOR_RGB2GRAY", 3),
+    ("COLOR_GRAY2BGR", 1),
+    ("COLOR_GRAY2BGRA", 1),
+    ("COLOR_BGRA2GRAY", 4),
+    ("COLOR_RGBA2GRAY", 4),
+]
+
+
+@pytest.mark.parametrize("name,nch", _SHUFFLE_CODES)
+def test_shuffle_codes_match_cv2_u8(bgr_176x144, rng, name, nch):
+    """Every common shuffle/gray code matches cv2 exactly on u8
+    (the reference serves these via cvt_color_opencv; here native)."""
+    import cv2
+
+    if nch == 1:
+        src = cv2.cvtColor(bgr_176x144, cv2.COLOR_BGR2GRAY)
+    elif nch == 4:
+        src = cv2.cvtColor(bgr_176x144, cv2.COLOR_BGR2BGRA)
+        src[..., 3] = rng.integers(0, 256, src.shape[:2], dtype=np.uint8)
+    else:
+        src = bgr_176x144
+    ref = cv2.cvtColor(src, getattr(cv2, name))
+    out = vc.cvt_color(src, getattr(vc.ColorCode, name)).numpy()
+    if ref.ndim == 2:
+        out = out.reshape(ref.shape)
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("name", ["COLOR_BGR2GRAY", "COLOR_RGB2GRAY"])
+def test_gray_codes_match_cv2_f32(bgr_176x144, name):
+    import cv2
+
+    src = bgr_176x144.astype(np.float32)
+    ref = cv2.cvtColor(src, getattr(cv2, name))
+    out = vc.cvt_color(src, getattr(vc.ColorCode, name)).numpy()
+    np.testing.assert_allclose(out.reshape(ref.shape), ref, atol=1e-3)

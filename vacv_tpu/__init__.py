@@ -72,6 +72,13 @@ COLOR_YUV2BGR_NV12 = ColorCode.COLOR_YUV2BGR_NV12
 COLOR_YUV2RGB_NV21 = ColorCode.COLOR_YUV2RGB_NV21
 COLOR_YUV2RGB_NV12 = ColorCode.COLOR_YUV2RGB_NV12
 COLOR_GRAY2BGR = ColorCode.COLOR_GRAY2BGR
+COLOR_BGR2RGB = ColorCode.COLOR_BGR2RGB
+COLOR_RGB2BGR = ColorCode.COLOR_RGB2BGR
+COLOR_BGR2GRAY = ColorCode.COLOR_BGR2GRAY
+COLOR_RGB2GRAY = ColorCode.COLOR_RGB2GRAY
+COLOR_BGR2BGRA = ColorCode.COLOR_BGR2BGRA
+COLOR_BGRA2BGR = ColorCode.COLOR_BGRA2BGR
+COLOR_GRAY2BGRA = ColorCode.COLOR_GRAY2BGRA
 
 HWC = Layout.HWC
 CHW = Layout.CHW

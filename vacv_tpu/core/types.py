@@ -72,8 +72,31 @@ class ColorCode(enum.IntEnum):
     can pass the same integers.
     """
 
+    # Common channel-shuffle / gray codes (OpenCV numbering; the
+    # reference serves these through cvt_color_opencv,
+    # cvt_color.cpp:166-169 — here they are native).  Pairs sharing a
+    # value are the same operation on untagged arrays (e.g. BGR2RGB
+    # and RGB2BGR are both a channel reversal).
+    COLOR_BGR2BGRA = 0
+    COLOR_RGB2RGBA = 0
+    COLOR_BGRA2BGR = 1
+    COLOR_RGBA2RGB = 1
+    COLOR_BGR2RGBA = 2
+    COLOR_RGB2BGRA = 2
+    COLOR_RGBA2BGR = 3
+    COLOR_BGRA2RGB = 3
+    COLOR_BGR2RGB = 4
+    COLOR_RGB2BGR = 4
+    COLOR_BGRA2RGBA = 5
+    COLOR_RGBA2BGRA = 5
+    COLOR_BGR2GRAY = 6
+    COLOR_RGB2GRAY = 7
     COLOR_GRAY2RGB = 8
     COLOR_GRAY2BGR = 8
+    COLOR_GRAY2BGRA = 9
+    COLOR_GRAY2RGBA = 9
+    COLOR_BGRA2GRAY = 10
+    COLOR_RGBA2GRAY = 11
     COLOR_YUV2RGB_NV12 = 90
     COLOR_YUV2BGR_NV12 = 91
     COLOR_YUV2RGB_NV21 = 92

@@ -107,6 +107,87 @@ def nv_to_bgr_planes_jnp(y_plane, vu_plane, *, is_nv12: bool):
     )
 
 
+# OpenCV 5's fixed-point gray coefficients (shift = 15, verified
+# bit-exact vs cv2 on-host): gray = (R*9798 + G*19235 + B*3735 + 2^14)
+# >> 15 for u8 inputs; float inputs use the 0.299/0.587/0.114 weights
+# (cv::cvtColor BGR2GRAY semantics — the reference serves this via its
+# OpenCV fallback, cvt_color.cpp:166-169).
+_GRAY_R, _GRAY_G, _GRAY_B = 9798, 19235, 3735
+
+
+def _to_gray(data, *, r_idx: int):
+    """BGR(A)/RGB(A) HWC → (h, w) gray with cv2 BGR2GRAY numerics."""
+    b_idx = 2 - r_idx
+    r, g, b = data[..., r_idx], data[..., 1], data[..., b_idx]
+    if data.dtype == jnp.uint8:
+        acc = (
+            r.astype(jnp.int32) * _GRAY_R
+            + g.astype(jnp.int32) * _GRAY_G
+            + b.astype(jnp.int32) * _GRAY_B
+            + (1 << 14)
+        ) >> 15
+        return acc.astype(jnp.uint8)
+    f = data.dtype
+    return (
+        r.astype(jnp.float32) * 0.299
+        + g.astype(jnp.float32) * 0.587
+        + b.astype(jnp.float32) * 0.114
+    ).astype(f)
+
+
+def _shuffle_code(img: Image, code: ColorCode) -> Image | None:
+    """Native channel-shuffle / gray conversions (OpenCV codes 0-11).
+
+    Returns None for codes outside this family.  All operate on HWC
+    data; XLA fuses them into single elementwise/concat kernels.
+    """
+    C = ColorCode
+    data = img.data
+    if code in (C.COLOR_GRAY2BGR, C.COLOR_GRAY2BGRA):
+        g = data if data.ndim == 2 else data[..., 0]
+        chans = [g, g, g]
+        if code == C.COLOR_GRAY2BGRA:
+            chans.append(_full_alpha(g))
+        return Image(jnp.stack(chans, axis=-1), Layout.HWC)
+    if data.ndim != 3:
+        raise ValueError(f"cvt_color code {code!r} needs an HWC image")
+    if code == C.COLOR_BGR2BGRA:        # also RGB2RGBA
+        return Image(
+            jnp.concatenate([data[..., :3], _full_alpha(data[..., 0])[..., None]],
+                            axis=-1),
+            Layout.HWC,
+        )
+    if code == C.COLOR_BGRA2BGR:        # also RGBA2RGB
+        return Image(data[..., :3], Layout.HWC)
+    if code == C.COLOR_BGR2RGBA:        # also RGB2BGRA
+        return Image(
+            jnp.concatenate(
+                [data[..., 2::-1], _full_alpha(data[..., 0])[..., None]], axis=-1
+            ),
+            Layout.HWC,
+        )
+    if code == C.COLOR_RGBA2BGR:        # also BGRA2RGB
+        return Image(data[..., 2::-1], Layout.HWC)
+    if code == C.COLOR_BGR2RGB:         # also RGB2BGR
+        return Image(data[..., ::-1], Layout.HWC)
+    if code == C.COLOR_BGRA2RGBA:       # also RGBA2BGRA
+        return Image(
+            jnp.concatenate([data[..., 2::-1], data[..., 3:4]], axis=-1),
+            Layout.HWC,
+        )
+    if code in (C.COLOR_BGR2GRAY, C.COLOR_BGRA2GRAY):
+        return Image(_to_gray(data, r_idx=2), Layout.HWC)
+    if code in (C.COLOR_RGB2GRAY, C.COLOR_RGBA2GRAY):
+        return Image(_to_gray(data, r_idx=0), Layout.HWC)
+    return None
+
+
+def _full_alpha(plane):
+    if plane.dtype == jnp.uint8:
+        return jnp.full_like(plane, 255)
+    return jnp.ones_like(plane)
+
+
 def cvt_color(src, code: ColorCode | int) -> Image:
     """Color conversion (parity: ``va_cv::cvt_color``, cv.h:95).
 
@@ -120,10 +201,10 @@ def cvt_color(src, code: ColorCode | int) -> Image:
     img = as_image(src)
     code = ColorCode(code)
 
-    if code in (ColorCode.COLOR_GRAY2BGR,):
-        data = img.data if img.data.ndim == 2 else img.data[..., 0]
-        out = jnp.stack([data, data, data], axis=-1)
-        return Image(out, Layout.HWC)
+    if int(code) < 12:  # channel-shuffle / gray family
+        out = _shuffle_code(img, code)
+        if out is not None:
+            return out
 
     if code == ColorCode.COLOR_YUV2BGR_YV12:
         # YV12: planar Y (h,w), then V (h/2, w/2), then U (h/2, w/2),
