@@ -162,3 +162,56 @@ def test_cubic_replicate_vs_opencv(bgr_640x360):
         border_mode=vc.BORDER_REPLICATE,
     ).numpy()
     assert abs(cosine_similarity(out, ref) - 1) < 1e-4
+
+
+@pytest.mark.parametrize("mode", ["BORDER_REFLECT", "BORDER_REFLECT_101",
+                                  "BORDER_WRAP"])
+@pytest.mark.parametrize("size", [(176, 144), (640, 360)])
+def test_border_remap_modes_vs_opencv(rng, mode, size):
+    """REFLECT/REFLECT_101/WRAP as native coordinate remaps (the
+    reference served these via its OpenCV fallback,
+    warp_affine.cpp:114-119; enum cv.h:39-49)."""
+    from conftest import make_bgr
+
+    w, h = size
+    src = make_bgr(h, w, rng).astype(np.float32)
+    # Shift well past the edges so every border path is exercised.
+    m = np.array([[0.7, 0.1, -60.0], [-0.1, 0.7, -40.0]], np.float32)
+    ref = cv2.warpAffine(
+        src, m.astype(np.float64), (w // 2 + 32, h // 2 + 16),
+        flags=cv2.INTER_LINEAR, borderMode=getattr(cv2, mode),
+    )
+    out = vc.warp_affine(
+        src, m, (w // 2 + 32, h // 2 + 16),
+        border_mode=getattr(vc.BorderMode, mode),
+    ).numpy()
+    np.testing.assert_allclose(out, ref, atol=0.05)
+
+
+def test_border_reflect_u8_vs_opencv(bgr_640x360):
+    m = np.array([[0.8, 0.05, -30.0], [-0.05, 0.8, -20.0]], np.float32)
+    ref = cv2.warpAffine(
+        bgr_640x360, m.astype(np.float64), (300, 220),
+        flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT_101,
+    )
+    out = vc.warp_affine(
+        bgr_640x360, m, (300, 220),
+        border_mode=vc.BorderMode.BORDER_REFLECT_101,
+    ).numpy()
+    # u8: vacv Q11/Q22-truncation parity vs cv2's round -> <=1 LSB.
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+
+
+def test_border_transparent_matches_vacv_skip(bgr_640x360):
+    """BORDER_TRANSPARENT == the reference's skip-and-leave-zero
+    semantics on a fresh dst (warp_affine_naive.cpp:26-38)."""
+    m = np.array([[0.7, 0.1, -60.0], [-0.1, 0.7, -40.0]], np.float32)
+    out_t = vc.warp_affine(
+        bgr_640x360, m, (256, 200),
+        border_mode=vc.BorderMode.BORDER_TRANSPARENT,
+    ).numpy()
+    out_v = vc.warp_affine(
+        bgr_640x360, m, (256, 200), edge_mode="vacv"
+    ).numpy()
+    np.testing.assert_array_equal(out_t, out_v)

@@ -89,8 +89,23 @@ def _cubic_coefs(frac):
     return c0, c1, c2, 1.0 - c0 - c1 - c2
 
 
+def _reflect_index(t, n: int, *, include_edge: bool):
+    """Reflect integer coordinates into [0, n): BORDER_REFLECT
+    (``include_edge=True``, period 2n, edge pixel duplicated) or
+    BORDER_REFLECT_101 (period 2n-2, edge not duplicated) — the same
+    index maps cv::borderInterpolate computes."""
+    if include_edge:
+        m = jnp.mod(t, 2 * n)
+        return jnp.where(m >= n, 2 * n - 1 - m, m)
+    if n == 1:
+        return jnp.zeros_like(t)
+    m = jnp.mod(t, 2 * n - 2)
+    return jnp.where(m >= n, 2 * n - 2 - m, m)
+
+
 def _warp_planes(planes, minv: np.ndarray, h_out: int, w_out: int, *, u8: bool,
-                 border_value: float, edge_mode: str, replicate: bool = False,
+                 border_value: float, edge_mode: str,
+                 border: BorderMode | int = BorderMode.BORDER_CONSTANT,
                  interp: InterMode = InterMode.INTER_LINEAR):
     """Warp (..., h_in, w_in) f32 planes with inverse matrix ``minv``.
 
@@ -102,6 +117,12 @@ def _warp_planes(planes, minv: np.ndarray, h_out: int, w_out: int, *, u8: bool,
       inside ``[0, w-2]×[0, h-2]`` gets the border value outright —
       the reference's skip-and-leave-zero semantics
       (warp_affine_naive.cpp:26-38).
+
+    ``border``: BORDER_CONSTANT (per-tap masking as above), or a
+    coordinate-remap mode — REPLICATE (clamp), REFLECT, REFLECT_101,
+    WRAP — matching ``cv::borderInterpolate`` (the reference serves
+    the non-CONSTANT/REPLICATE modes via its OpenCV fallback,
+    warp_affine.cpp:114-119; enum cv.h:39-49).
 
     ``interp``: INTER_LINEAR (reference-native), INTER_NEAREST and
     INTER_CUBIC (the reference served these through its OpenCV
@@ -128,16 +149,25 @@ def _warp_planes(planes, minv: np.ndarray, h_out: int, w_out: int, *, u8: bool,
     # individually; indices (h_out*w_out,) shared across channels.
     flat = planes.reshape(planes.shape[:-2] + (h_in * w_in,))
     bv = jnp.float32(border_value)
+    border = BorderMode(border)
+
+    def remap(t, n):
+        if border == BorderMode.BORDER_REPLICATE:
+            return jnp.clip(t, 0, n - 1)
+        if border == BorderMode.BORDER_REFLECT:
+            return _reflect_index(t, n, include_edge=True)
+        if border == BorderMode.BORDER_REFLECT_101:
+            return _reflect_index(t, n, include_edge=False)
+        if border == BorderMode.BORDER_WRAP:
+            return jnp.mod(t, n)
+        return jnp.clip(t, 0, n - 1)  # CONSTANT: clamp, then mask
 
     def tap(tx, ty):
-        idx = (
-            jnp.clip(ty, 0, h_in - 1) * w_in + jnp.clip(tx, 0, w_in - 1)
-        ).reshape(-1)
+        idx = (remap(ty, h_in) * w_in + remap(tx, w_in)).reshape(-1)
         vals = jnp.take(flat, idx, axis=-1)
         vals = vals.reshape(planes.shape[:-2] + (h_out, w_out))
-        if replicate:
-            # BORDER_REPLICATE: clamped tap coordinates ARE the border
-            # handling (cv::BORDER_REPLICATE bilinear semantics).
+        if border != BorderMode.BORDER_CONSTANT:
+            # Remapped tap coordinates ARE the border handling.
             return vals
         ok = (tx >= 0) & (tx <= w_in - 1) & (ty >= 0) & (ty <= h_in - 1)
         return jnp.where(ok, vals, bv)
@@ -221,12 +251,15 @@ def warp_affine(
         raise NotImplementedError(
             "warp_affine supports INTER_LINEAR/INTER_NEAREST/INTER_CUBIC"
         )
-    border_mode = BorderMode(border_mode)
-    if border_mode not in (BorderMode.BORDER_CONSTANT, BorderMode.BORDER_REPLICATE):
-        raise NotImplementedError(
-            "warp_affine supports BORDER_CONSTANT and BORDER_REPLICATE"
-        )
-    replicate = border_mode == BorderMode.BORDER_REPLICATE
+    # BORDER_ISOLATED only matters for ROI submats (none here); strip it.
+    border_mode = BorderMode(int(border_mode) & ~int(BorderMode.BORDER_ISOLATED))
+    if border_mode == BorderMode.BORDER_TRANSPARENT:
+        # cv::BORDER_TRANSPARENT leaves outlier dst pixels unwritten —
+        # on a fresh dst that is the reference's own skip-and-leave-zero
+        # semantics (warp_affine_naive.cpp:26-38), i.e. our "vacv" edge
+        # mode with the border value.
+        border_mode = BorderMode.BORDER_CONSTANT
+        edge_mode = "vacv"
     bv = border_value.v0 if isinstance(border_value, VScalar) else float(border_value)
 
     minv = np.asarray(M, dtype=np.float32).reshape(2, 3)
@@ -248,7 +281,7 @@ def warp_affine(
     use_kernel = False
     if (
         interp == InterMode.INTER_LINEAR
-        and not replicate
+        and border_mode == BorderMode.BORDER_CONSTANT
         and edge_mode == "opencv"
         and data.dtype in (jnp.uint8, jnp.float32)
     ):
@@ -273,7 +306,7 @@ def warp_affine(
 
     out = _warp_planes(
         planes.astype(jnp.float32), minv, dsize.h, dsize.w, u8=is_u8,
-        border_value=bv, edge_mode=edge_mode, replicate=replicate,
+        border_value=bv, edge_mode=edge_mode, border=border_mode,
         interp=interp,
     )
     if is_u8:
