@@ -126,24 +126,39 @@ def bench_fused_kernel(r_small=2, r_big=18, reps=8):
 
     b = _gen_device_batch(BATCH)
 
-    def best_time(fn):
+    def times(fn):
         float(fn(b))  # compile + warm
-        best = float("inf")
+        out = []
         for _ in range(reps):
             t0 = time.perf_counter()
             float(fn(b))  # scalar readback forces execution
-            best = min(best, time.perf_counter() - t0)
-        return best
+            out.append(time.perf_counter() - t0)
+        return out
 
     f_small = make_fn(r_small)
     f_big = make_fn(r_big)
-    t_small = best_time(f_small)
-    t_big = best_time(f_big)
-    # second interleaved round absorbs slow link drift
-    t_small = min(t_small, best_time(f_small))
-    t_big = min(t_big, best_time(f_big))
-    per_batch = max((t_big - t_small) / (r_big - r_small), 1e-9)
-    return BATCH / per_batch, per_batch / BATCH
+    # two interleaved rounds absorb slow link drift
+    t_small = times(f_small)
+    t_big = times(f_big)
+    t_small += times(f_small)
+    t_big += times(f_big)
+
+    def slope(red):
+        return max((red(t_big) - red(t_small)) / (r_big - r_small), 1e-9)
+
+    # Median-of-reps slope is the headline (reproducible run to run);
+    # the min-based slope (the best-case figure previous rounds quoted)
+    # is reported as spread detail, not as the headline.
+    per_batch = slope(lambda t: float(np.median(t)))
+    per_batch_best = slope(min)
+    return {
+        "fps": BATCH / per_batch,
+        "sec_per_batch": per_batch,
+        "fps_best": BATCH / per_batch_best,
+        "spread_pct": round(
+            100.0 * (per_batch - per_batch_best) / per_batch, 1
+        ),
+    }
 
 
 def bench_opencv(batch):
@@ -187,9 +202,9 @@ def main():
         except Exception as e:  # pragma: no cover - defensive: keep the
             print(f"# fused path failed: {e!r}", file=sys.stderr)
 
-    if fused and fused[0] > jnp_fps:
-        fps, path = fused[0], "pallas_fused"
-        ms_per_batch = fused[1] * BATCH * 1e3
+    if fused and fused["fps"] > jnp_fps:
+        fps, path = fused["fps"], "pallas_fused"
+        ms_per_batch = fused["sec_per_batch"] * 1e3
     else:
         fps, path = jnp_fps, "xla_pipeline"
         ms_per_batch = jnp_sec * BATCH * 1e3
@@ -211,7 +226,15 @@ def main():
                     "path": path,
                     "ours_ms_per_batch": round(ms_per_batch, 3),
                     "xla_pipeline_fps": round(jnp_fps, 1),
-                    "pallas_fused_fps": round(fused[0], 1) if fused else None,
+                    "pallas_fused_fps": (
+                        round(fused["fps"], 1) if fused else None
+                    ),
+                    "pallas_fused_fps_best": (
+                        round(fused["fps_best"], 1) if fused else None
+                    ),
+                    "rep_spread_pct": (
+                        fused["spread_pct"] if fused else None
+                    ),
                     "opencv_1thread_fps": round(cv_fps, 1),
                     "opencv_ms_per_frame": round(cv_ms, 3),
                 },

@@ -26,8 +26,10 @@ from vacv_tpu.utils.compare import cosine_similarity
 from vacv_tpu.utils.io import bgr2nv21_numpy
 from vacv_tpu.utils.perf import device_time
 
-# The reference's size ladder (test assets 176x144 .. 2560x1440).
-LADDER = [(144, 176), (360, 640), (720, 1280), (1080, 1920), (1440, 2560)]
+# The reference's size ladder (test assets 176x144 .. 2560x1440;
+# 284x214 is the test_normalize.cpp:22-143 asset).
+LADDER = [(144, 176), (214, 284), (360, 640), (720, 1280), (1080, 1920),
+          (1440, 2560)]
 DEFAULT = [(360, 640), (1080, 1920)]
 
 
@@ -50,6 +52,21 @@ def _img(h, w, seed=0):
     base = 128 + 70 * np.sin(xx / 37.0) + 50 * np.cos(yy / 23.0)
     img = base[..., None] + rng.normal(0, 8, size=(h, w, 3))
     return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _gray_img(h, w, seed=9):
+    """Single-channel (h, w) u8 — prefers a *grey* asset of that size
+    (the reference ships 1280x720_grey.jpg)."""
+    if ASSETS_DIR:
+        import glob
+
+        from vacv_tpu.utils.loader import _decode
+
+        for p in sorted(glob.glob(f"{ASSETS_DIR}/*gr[ae]y*.jp*g")):
+            img = _decode(p)
+            if img.shape[:2] == (h, w):
+                return img[..., 0].copy() if img.ndim == 3 else img
+    return _img(h, w, seed)[..., 0].copy()
 
 
 def _pair(cv_fn, step_fn, dev_args, ref_for_cosine=None, iters=16):
@@ -205,6 +222,24 @@ def build_tests(sizes):
                     s[:hh-8], mm.astype(np.float64), (ww // 2, hh // 2)),
                 wa_step, (srcj,),
             ),
+        ))
+
+    # ---- gray 1280x720 asset (1280x720_grey.jpg): gray2bgr + resize ----
+    if (720, 1280) in sizes:
+        gray = _gray_img(720, 1280)
+        grayj = jax.device_put(jnp.asarray(gray))
+
+        def gr_step(i, g):
+            gs = lax.dynamic_slice(g, (i % 2, 0), (718, 1280))
+            img = vc.cvt_color(gs, vc.ColorCode.COLOR_GRAY2BGR)
+            return resize(img, (224, 224)).data
+
+        def cv_gr(g=gray):
+            bgr = cv2.cvtColor(g[:718], cv2.COLOR_GRAY2BGR)
+            return cv2.resize(bgr, (224, 224))
+
+        tests.append(TestFuncInfo(
+            "gray2bgr_resize_1280x720", _pair(cv_gr, gr_step, (grayj,)),
         ))
     return tests
 
