@@ -2,40 +2,52 @@
 
 The jnp warp (``ops/warp_affine.py``) is exact but gather-bound: XLA's
 per-element 2D gather runs at ~1 element/cycle (~56 Mpx/s measured at
-1440p — 16 ms/frame).  This kernel removes the gather entirely, per the
-SURVEY §7 "hard parts" plan (tiled inverse mapping with per-tile
-bounding-box loads):
+1440p — 16 ms/frame).  This kernel removes the gather, per the SURVEY
+§7 "hard parts" plan (tiled inverse mapping with per-tile bounding-box
+loads), using 0/1 SELECTION MATMULS on the MXU for the horizontal taps
+and an iota-compare weight field on the VPU for the vertical taps.
 
-For an output tile of T rows × L lanes, the inverse map is linear, so
-all source samples live in a band of ``BH × BW`` source pixels whose
-static size follows from the matrix coefficients.  Within the band:
+Round-3 redesign (the round-2 kernel was MXU-bound on oversized
+selection dots — 0.678 ms at 1080p u8):
 
-* **horizontal sampling is a matmul**: for each tile row, the 2-tap
-  bilinear x-weights form a banded ``(BW, L)`` matrix built *in
-  closed form* from an iota comparison (``cc == sx`` picks the taps) —
-  no gather, and the (BH, BW) @ (BW, L) product runs on the MXU;
-* **vertical sampling is a masked reduction** over the BH band rows on
-  the VPU (``sy`` relative to the band start selects each row's
-  contribution).
+* **Row-strip grid**: one grid step produces t=8 output rows × the
+  full padded output width (a static loop over lane-blocks inside the
+  step), cutting grid steps ~8× (per-step overhead ~0.7 µs measured).
+* **K=128 tap windows**: the selection dot's contraction axis is a
+  fixed 128-column source window per lane-block.  The lane-block width
+  lb ∈ {128, 64, 32, 16} adapts to the matrix so the tap span
+  ``|m0|·(lb-1) + |m1|·(t-1) + 3`` fits 126 columns — large downscales
+  use narrower blocks instead of a wider (2× more expensive) window.
+  Window alignment is a 256-wide aligned slice + dynamic lane-roll.
+* **Second tap via band roll**: ``p1`` reuses the SAME selection field
+  F on a one-column-rolled band — F1 and its iota-compare build are
+  gone (the window's +3 margin guarantees the wrap column of the roll
+  is never selected).
+* **Exact f32 via Dekker split**: the f32 band is split hi/lo into two
+  bf16 operands (band == hi + lo exactly); two bf16 selection dots
+  replace the ~6-pass HIGHEST-precision f32 dot.  For u8, band values
+  are 8-bit integers — exact in one bf16 pass.
+* **Per-row vertical windows**: rh spans only the lane-block's taps
+  (``|m3|·(lb-1) + |m4|·(t-1)``), not a 16-row tile's — about half the
+  round-2 dot M-height at the benchmark matrices.
 
 Border handling matches the jnp op's OpenCV mode: per-tap validity
-zeroes the tap's weight, and the weight deficit is backfilled with the
+zeroes the tap's weight and the weight deficit is backfilled with the
 border value.  The u8 path uses the same Q11-quantized weights as the
-reference fixed-point kernel (warp_affine_naive.cpp:31-41) with Q22
-truncation on write-out.
+reference fixed-point kernel (warp_affine_naive.cpp:31-41) applied
+post-dot at f32, with Q22 truncation on write-out — bit-compatible
+with the reference arithmetic (≤1 ulp of the jnp op).
 
 Two source-residency modes:
 
 * **resident** (small planes): the padded source planes sit whole in
-  VMEM across the tile grid — one HBM read of the source total.
+  VMEM across the strip grid — one HBM read of the source total.
 * **streaming** (large planes, e.g. the reference's 2560×1440 f32
-  asset whose 14 MB/plane blew the old whole-plane gate): the source
-  stays in HBM; at the first tile of every output tile-row the kernel
-  DMAs the source *row band* feeding that whole tile-row into a VMEM
-  scratch (its height is closed-form from the matrix coefficients),
-  and every tile in the row slices its column window out of the band.
-  HBM traffic ≈ one source read × a small overlap factor, independent
-  of plane size.
+  asset at 14 MB/plane): the source stays in HBM; each strip DMAs the
+  source row band feeding its full output row into a double-buffered
+  VMEM scratch (the next strip's band prefetches while the current
+  strip computes), and every lane-block slices its 256-column window
+  out of the band.
 """
 from __future__ import annotations
 
@@ -54,281 +66,293 @@ _COEF_SCALE = 2048.0
 # VMEM budget for keeping the source planes resident (bytes); larger
 # sources use the streaming row-band mode.
 _PLANE_BUDGET = 8 * 1024 * 1024
-# VMEM budget for the streaming row-band scratch (bytes).
-_BAND_BUDGET = 6 * 1024 * 1024
+# VMEM budget for the double-buffered streaming row bands (bytes).
+_BAND_BUDGET = 10 * 1024 * 1024
+_T = 8          # output rows per strip
+_KW = 128       # selection-dot contraction width (source window)
+_RH_CAP = 120   # max band rows per lane-block (dot M-height = cs*rh)
 
 
 def _quantize_q11(w):
     return jnp.floor(w * _COEF_SCALE + 0.5) / _COEF_SCALE
 
 
-def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, l, bh, bw, rh, cw,
-            u8, bv, cs, rbh):
-    stream = rbh > 0
-    ty = pl.program_id(1)
-    tx = pl.program_id(2)
-
-    # All per-pixel coordinate/weight math runs in the flattened
-    # (1, t*l) layout — lane j' = trow*l + j — so the selection fields
-    # below need no concatenation (Mosaic cannot concat offset-layout
-    # row slices) and per-row views are 128-aligned static lane slices.
-    jc = jax.lax.broadcasted_iota(jnp.int32, (1, t * l), 1)
-    dy = (ty * t + jc // l).astype(jnp.float32)
-    dx = (tx * l + (jc % l)).astype(jnp.float32)
-    m0, m1, m2, m3, m4, m5 = (jnp.float32(v) for v in m)
-    fx = jnp.clip(m0 * dx + m1 * dy + m2, -1e6, 1e6)
-    fy = jnp.clip(m3 * dx + m4 * dy + m5, -1e6, 1e6)
-
-    # Derive the fractional weights from the *integer* coordinates, not
-    # from a separate floor: XLA may materialize fx/fy twice with
-    # different FMA contraction, and an inconsistent (sy, ay) pair
-    # around integer boundaries selects the wrong source row outright.
-    # Anchoring ay to sy keeps the pair self-consistent to 1 ulp.
-    sx = jnp.floor(fx).astype(jnp.int32)
-    sy = jnp.floor(fy).astype(jnp.int32)
-    ax = jnp.clip(fx - sx.astype(jnp.float32), 0.0, 1.0)
-    ay = jnp.clip(fy - sy.astype(jnp.float32), 0.0, 1.0)
-
-    if u8:
-        wx0 = _quantize_q11(1.0 - ax)
-        wx1 = 1.0 - wx0
-        wy0 = _quantize_q11(1.0 - ay)
-        wy1 = 1.0 - wy0
-    else:
-        wx0, wx1 = 1.0 - ax, ax
-        wy0, wy1 = 1.0 - ay, ay
-
-    # Per-tap image-bounds validity (OpenCV BORDER_CONSTANT semantics).
-    x0_ok = ((sx >= 0) & (sx <= w_in - 1)).astype(jnp.float32)
-    x1_ok = ((sx >= -1) & (sx + 1 <= w_in - 1)).astype(jnp.float32)
-    y0_ok = ((sy >= 0) & (sy <= h_in - 1)).astype(jnp.float32)
-    y1_ok = ((sy >= -1) & (sy + 1 <= h_in - 1)).astype(jnp.float32)
-
-    if stream:
-        # Streaming mode runs on unpadded sources gated to h%8 == 0,
-        # w%128 == 0, so the "padded" dims ARE the source dims.
-        h_pad, w_pad = h_in, w_in
-        band_ref, sem = scratch
-        row_align = 8
-
-        # Row band feeding this whole output tile-row: closed-form
-        # from the 4 corners of the (t, ntx*l) row (fy is affine, so
-        # the corner minimum is the row minimum).
-        wp_out = pl.num_programs(2) * l
-        cor = [
-            m3 * ddx + m4 * ddy + m5
-            for ddx in (0.0, float(wp_out - 1))
-            for ddy in ((ty * t).astype(jnp.float32),
-                        (ty * t + (t - 1)).astype(jnp.float32))
-        ]
-        row_min = jnp.floor(
-            jnp.minimum(jnp.minimum(cor[0], cor[1]),
-                        jnp.minimum(cor[2], cor[3]))
-        ).astype(jnp.int32)
-        r0_row = jnp.minimum(
-            (jnp.clip(row_min, 0, None) // 8) * 8, h_in - rbh
-        )
-        r0_row = pl.multiple_of(r0_row, 8)
-
-        @pl.when(tx == 0)
-        def _():
-            cg = pl.program_id(0)
-            for k in range(cs):
-                pltpu.make_async_copy(
-                    src_ref.at[cg * cs + k, pl.ds(r0_row, rbh), :],
-                    band_ref.at[k],
-                    sem.at[k],
-                ).start()
-            for k in range(cs):
-                pltpu.make_async_copy(
-                    src_ref.at[cg * cs + k, pl.ds(r0_row, rbh), :],
-                    band_ref.at[k],
-                    sem.at[k],
-                ).wait()
-    else:
-        h_pad = src_ref.shape[1]
-        w_pad = src_ref.shape[2]
-        row_align = 32
-
-    # Band origin: tile minima aligned down to the VMEM slice
-    # granularity (8 sublane rows suffice for the dynamic slices; the
-    # resident mode keeps its original 32 alignment), clipped so the
-    # static band sizes stay in-bounds.
-    r0 = jnp.minimum(
-        (jnp.clip(jnp.min(sy), 0, None) // row_align) * row_align,
-        h_pad - bh,
-    )
-    c0 = jnp.minimum(
-        (jnp.clip(jnp.min(sx), 0, None) // 128) * 128, w_pad - bw
-    )
-    r0 = pl.multiple_of(r0, 8)
-    c0 = pl.multiple_of(c0, 128)
-
-    def load_band(row_start, nrows):
-        # All cs channels stacked along the row (M) axis: the selection
-        # dots then run at M = cs*rh, and the coordinate/selection
-        # fields are built once for every channel.
-        def one(ci):
-            if stream:
-                # row_start and r0_row are both 8-aligned by
-                # construction; the hint survives the min/clip chains
-                # Mosaic's divisibility analysis loses.
-                off = pl.multiple_of(row_start - r0_row, 8)
-                b = band_ref[ci, pl.ds(off, nrows), pl.ds(c0, bw)]
-            else:
-                b = src_ref[ci, pl.ds(row_start, nrows), pl.ds(c0, bw)]
-            return (
-                b.astype(jnp.int32).astype(jnp.float32)
-                if u8
-                else b.astype(jnp.float32)
-            )
-
-        if cs == 1:
-            return one(0)
-        return jnp.concatenate([one(ci) for ci in range(cs)], axis=0)
-
-    # Second-level column narrowing: the tile's x taps span only
-    # ~|m0|*l + |m1|*t columns; c0 is 128-aligned so up to 127 of the
-    # loaded bw columns are slack.  A dynamic lane-rotate shifts the
-    # true tap start c1 to column 0, after which the static cw (<= bw)
-    # window covers every tap — shrinking both selection fields and
-    # both dots by bw/cw.  (c1 - c0 is in [0, bw - cw] by construction,
-    # so no real tap wraps out of the window.)
-    if cw < bw:
-        c1 = jnp.minimum(jnp.clip(jnp.min(sx), 0, None), w_pad - cw)
-    else:
-        c1 = c0  # window not narrowed; no roll
-    roll_amt = c1 - c0
-    sx_rel = sx - c1  # (1, t*l)
-    sy_rel = sy - r0
-
-    wsum = (wx0 * x0_ok + wx1 * x1_ok) * (wy0 * y0_ok + wy1 * y1_ok)
-    border = jnp.float32(bv)
-
-    # The tile's vertical taps span only ~|m3|*l + |m4|*t source rows —
-    # a small slice of the (alignment-padded) band.  sy is affine in
-    # the output coords with bounded slopes, so the clipped minimum
-    # plus the static rh always covers every valid tap.
-    syc = jnp.clip(sy, 0, h_in - 1) - r0
-    ry0 = jnp.clip(jnp.min(syc), 0, bh - rh)
-    ry0 = pl.multiple_of((ry0 // 8) * 8, 8)
-    band = load_band(r0 + ry0, rh)
-    if cw < bw:
-        band = pltpu.roll(band, (bw - roll_amt) % bw, 1)[:, :cw]
-
-    # Horizontal sampling as 0/1 SELECTION matmuls: F[k, trow*l + j]
-    # picks band column sx (F1: sx+1) of tile row trow, lane j — one
-    # iota compare per tap for all t rows batched along N.  (F1 must
-    # be its own compare, not a roll of F: for fx in (-1, 0) the sx
-    # tap is out of band at column -1 while the sx+1 tap at column 0
-    # is valid.)  Because F is 0/1 and the u8 band values are 8-bit
-    # integers, a single DEFAULT bf16 MXU pass is exact; the Q11
-    # interpolation weights are applied *after* the dot on the VPU at
-    # full f32 precision, so the fixed-point reference arithmetic is
-    # reproduced bit-exactly without the ~6 passes of a
-    # HIGHEST-precision matmul.  (For f32 inputs the selection dots
-    # run at HIGHEST, which is exact for a 0/1 weight matrix.)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (cw, t * l), 0)
-    fdt = jnp.bfloat16 if u8 else jnp.float32
-    F = (cc == sx_rel).astype(fdt)
-    F1 = (cc == sx_rel + 1).astype(fdt)
-    if u8:
-        bb = band.astype(jnp.bfloat16)
-        p0cat = jnp.dot(bb, F, preferred_element_type=jnp.float32)
-        p1cat = jnp.dot(bb, F1, preferred_element_type=jnp.float32)
-    else:
-        p0cat = jnp.dot(
-            band, F, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        p1cat = jnp.dot(
-            band, F1, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-    wx0v = wx0 * x0_ok  # (1, t*l)
-    wx1v = wx1 * x1_ok
-    wy0v = wy0 * y0_ok
-    wy1v = wy1 * y1_ok
-    backfill = (1.0 - wsum) * border
-
-    # Vertical 2-tap select as a single iota-compare weight field over
-    # the full (rh, t*l) block — shared by every channel; the whole
-    # vertical pass is one VPU multiply+reduce per channel, no per-row
-    # loop.
-    dd = jax.lax.broadcasted_iota(jnp.int32, (rh, t * l), 0) + ry0
-    wv = jnp.where(dd == sy_rel, wy0v, 0.0) + jnp.where(
-        dd == sy_rel + 1, wy1v, 0.0
-    )
-
-    for ci in range(cs):
-        rs = slice(ci * rh, (ci + 1) * rh)  # 8-aligned static row slice
-        hrows = wx0v * p0cat[rs] + wx1v * p1cat[rs]
-        acc = jnp.sum(wv * hrows, axis=0, keepdims=True) + backfill
-
-        if u8:
-            # Q22 truncation; no direct f32->u8 cast on Mosaic — via i32.
-            acc = jnp.clip(jnp.floor(acc + 1e-4), 0, 255)
-            acc = acc.astype(jnp.int32).astype(jnp.uint8)
-        for trow in range(t):
-            out_ref[ci, trow, :] = acc[0, trow * l : (trow + 1) * l]
-
-
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _band_sizes(minv, t, l, h_pad, w_pad):
-    """Static band sizes incl. the 32/128 origin-alignment slack, plus
-    the per-output-row slice height rh (row sy span + tap + 8-align)."""
+def _spans(minv, t, lb):
+    """(x_span, y_span): max tap spread of a (t, lb) output block."""
     m = np.abs(np.asarray(minv, np.float64)).ravel()
-    row_span = int(np.ceil(m[3] * (l - 1) + m[4] * (t - 1)))
-    col_span = int(np.ceil(m[0] * (l - 1) + m[1] * (t - 1)))
-    bh = min(_round_up(row_span + 3 + 32, 32), h_pad)
-    bw = min(_round_up(col_span + 3 + 128, 128), w_pad)
-    rh = min(_round_up(row_span + 10, 8), bh)
-    cw = min(_round_up(col_span + 3, 128), bw)
-    return bh, bw, rh, cw
+    xs = int(np.ceil(m[0] * (lb - 1) + m[1] * (t - 1)))
+    ys = int(np.ceil(m[3] * (lb - 1) + m[4] * (t - 1)))
+    return xs, ys
 
 
-def _row_band_height(minv, t, l, w_out, h_in, bh):
-    """Streaming-mode row-band height: the source rows feeding one full
-    (t, w_out_pad) output tile-row, plus the per-tile band height so
-    every tile's [r0, r0+bh) window is contained (see containment
-    analysis in _call)."""
+def _pick_lb(minv, t=_T):
+    """Largest lane-block width whose taps fit the 128-column window."""
+    for lb in (128, 64, 32, 16):
+        xs, _ = _spans(minv, t, lb)
+        if xs + 3 <= 126:
+            return lb
+    return None
+
+
+def _rh(minv, t, lb):
+    _, ys = _spans(minv, t, lb)
+    return _round_up(ys + 10, 8)
+
+
+def _row_band_height(minv, t, wp, rh, h_in):
+    """Streaming-mode band height: source rows feeding one full
+    (t, wp) output strip, plus per-block slack (8-align both ends)."""
     m = np.abs(np.asarray(minv, np.float64)).ravel()
-    wp = _round_up(w_out, l)
-    row_span = int(np.ceil(m[3] * (wp - 1)))
-    return min(_round_up(row_span + 3 + 8, 8) + bh, h_in)
+    span = int(np.ceil(m[3] * (wp - 1) + m[4] * (t - 1)))
+    return min(_round_up(span + 11, 8) + rh + 8, h_in)
 
 
 def _stream_ok(minv, h_in, w_in, w_out, itemsize):
     """Is the streaming row-band mode available for this config?"""
-    if h_in % 8 or w_in % 128:
+    if h_in % 8 or w_in % 128 or w_in < 256:
         return False
-    t, l = 8, 128
-    bh, bw, rh, cw = _band_sizes(minv, t, l, h_in, w_in)
-    rbh = _row_band_height(minv, t, l, w_out, h_in, bh)
-    return rbh * w_in * itemsize <= _BAND_BUDGET
+    t = _T
+    lb = _pick_lb(minv, t)
+    if lb is None:
+        return False
+    rh = _rh(minv, t, lb)
+    if rh > _RH_CAP:
+        return False
+    wp = -(-w_out // lb) * lb
+    rbh = _row_band_height(minv, t, wp, rh, h_in)
+    return 2 * rbh * w_in * itemsize <= _BAND_BUDGET
+
+
+def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize):
+    """Static kernel plan, or None if unsupported."""
+    t = _T
+    lb = _pick_lb(minv, t)
+    if lb is None:
+        return None
+    rh = _rh(minv, t, lb)
+    if rh > _RH_CAP:
+        return None
+    nb = -(-w_out // lb)
+    wp = nb * lb
+    resident = c * _round_up(h_in, 8) * _round_up(w_in, 128) * itemsize \
+        <= _PLANE_BUDGET
+    if resident:
+        h_pad = max(_round_up(h_in, 8), rh)
+        w_pad = max(_round_up(w_in, 128), 256)
+        rbh = 0
+        cs = c
+    else:
+        if h_in % 8 or w_in % 128 or w_in < 256:
+            return None
+        h_pad, w_pad = h_in, w_in
+        rbh = _row_band_height(minv, t, wp, rh, h_in)
+        cs = c
+        if 2 * cs * rbh * w_in * itemsize > _BAND_BUDGET:
+            cs = 1
+            if 2 * rbh * w_in * itemsize > _BAND_BUDGET:
+                return None
+    return dict(t=t, lb=lb, rh=rh, nb=nb, wp=wp, cs=cs,
+                h_pad=h_pad, w_pad=w_pad, rbh=rbh)
 
 
 def warp_supported(minv, h_in, w_in, itemsize: int = 1,
-                   w_out: int | None = None) -> bool:
+                   w_out: int | None = None, h_out: int | None = None,
+                   c: int = 3) -> bool:
     """Can the pallas kernel handle this warp config?"""
-    t, l = 8, 128
-    h_pad = _round_up(h_in, 32)
-    w_pad = _round_up(w_in, 128)
-    bh, bw, _, _ = _band_sizes(minv, t, l, h_pad, w_pad)
-    # Matrix-magnitude gate, evaluated at the smallest tile height the
-    # adaptive _call would fall back to: beyond these band sizes (huge
-    # downscale factors / extreme shears) the selection fields F/F1
-    # (cw, t*l) plus the band no longer fit a safe VMEM share even at
-    # t=8, so the op routes to the jnp gather path instead.
-    if not (bh <= 224 and bw <= 1152):
-        return False
-    if h_in * w_in * itemsize <= _PLANE_BUDGET:
-        return True
-    return _stream_ok(minv, h_in, w_in, w_out if w_out else w_in, itemsize)
+    return _plan(
+        minv, c, h_in, w_in, h_out or h_in, w_out or w_in, itemsize
+    ) is not None
+
+
+def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
+            h_pad, w_pad, rbh, u8, bv, ns):
+    stream = rbh > 0
+    s = pl.program_id(1)
+    m0, m1, m2, m3, m4, m5 = (jnp.float32(v) for v in m)
+
+    def strip_r0row(ss):
+        # Source row band feeding output strip ss: fy is affine, so the
+        # band minimum is at one of the strip's 4 corners.
+        wp_f = jnp.float32(nb * lb - 1)
+        y0 = jnp.float32(1.0) * (ss * t)  # ss may be a python int
+        y1 = y0 + jnp.float32(t - 1)
+        cor = [m3 * ddx + m4 * ddy + m5
+               for ddx in (jnp.float32(0.0), wp_f) for ddy in (y0, y1)]
+        rmin = jnp.floor(
+            jnp.minimum(jnp.minimum(cor[0], cor[1]),
+                        jnp.minimum(cor[2], cor[3]))
+        ).astype(jnp.int32)
+        r = jnp.minimum((jnp.clip(rmin, 0, None) // 8) * 8, h_in - rbh)
+        return pl.multiple_of(r, 8)
+
+    if stream:
+        band_hbm, sem = scratch
+        cg = pl.program_id(0)
+        step = cg * ns + s
+        n_total = pl.num_programs(0) * ns
+
+        def dma(slot, stp):
+            cgi = stp // ns
+            r0r = strip_r0row(stp % ns)
+            return pltpu.make_async_copy(
+                src_ref.at[pl.ds(cgi * cs, cs), pl.ds(r0r, rbh), :],
+                band_hbm.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(step == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(step + 1 < n_total)
+        def _():
+            dma((step + 1) % 2, step + 1).start()
+
+        dma(step % 2, step).wait()
+        r0_row = strip_r0row(s)
+
+    # ---- per lane-block work (static unroll) -------------------------
+    jc = jax.lax.broadcasted_iota(jnp.int32, (1, t * lb), 1)
+    trow_f = (jc // lb).astype(jnp.float32)
+    lane_f = (jc % lb).astype(jnp.float32)
+    dy = (s * t).astype(jnp.float32) + trow_f
+    dd = jax.lax.broadcasted_iota(jnp.int32, (rh, t * lb), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (_KW, t * lb), 0)
+    fdt = jnp.bfloat16
+
+    for b in range(nb):
+        # NOTE on determinism: under interpret mode XLA:CPU lowers this
+        # with fast-math FMA contraction at the LLVM level (HLO
+        # optimization_barrier does not reach it), so a vmapped and a
+        # plain evaluation can differ by 1 ulp of fx — which flips a
+        # Q11 weight when (1-ax)*2048 lands exactly on a half step.
+        # On device, Mosaic compiles one deterministic program for
+        # both (vmap only adds a grid dimension).
+        dx = jnp.float32(b * lb) + lane_f
+        fx = jnp.clip(m0 * dx + m1 * dy + m2, -1e6, 1e6)
+        fy = jnp.clip(m3 * dx + m4 * dy + m5, -1e6, 1e6)
+
+        # Anchor the fractional weights to the floored integer coords —
+        # XLA may materialize fx/fy twice with different FMA
+        # contraction, and an inconsistent (sy, ay) pair around integer
+        # boundaries selects the wrong source row outright.
+        sx = jnp.floor(fx).astype(jnp.int32)
+        sy = jnp.floor(fy).astype(jnp.int32)
+        ax = jnp.clip(fx - sx.astype(jnp.float32), 0.0, 1.0)
+        ay = jnp.clip(fy - sy.astype(jnp.float32), 0.0, 1.0)
+
+        if u8:
+            wx0 = _quantize_q11(1.0 - ax)
+            wx1 = 1.0 - wx0
+            wy0 = _quantize_q11(1.0 - ay)
+            wy1 = 1.0 - wy0
+        else:
+            wx0, wx1 = 1.0 - ax, ax
+            wy0, wy1 = 1.0 - ay, ay
+
+        # Per-tap image-bounds validity (OpenCV BORDER_CONSTANT).
+        x0_ok = ((sx >= 0) & (sx <= w_in - 1)).astype(jnp.float32)
+        x1_ok = ((sx >= -1) & (sx + 1 <= w_in - 1)).astype(jnp.float32)
+        y0_ok = ((sy >= 0) & (sy <= h_in - 1)).astype(jnp.float32)
+        y1_ok = ((sy >= -1) & (sy + 1 <= h_in - 1)).astype(jnp.float32)
+
+        # 128-column source window: 256-wide aligned slice + lane roll.
+        # The window effectively covers source columns [c1-1, c1+126]
+        # (the selection field is keyed on sx_rel + 1, see below), so
+        # the right clip is w_pad - 127, keeping the last column
+        # selectable.
+        c1 = jnp.minimum(jnp.clip(jnp.min(sx), 0, None), w_pad - 127)
+        c_al = jnp.minimum((c1 // 128) * 128, w_pad - 256)
+        c_al = pl.multiple_of(c_al, 128)
+        d = c1 - c_al
+
+        # Vertical window: 8-aligned minimum of the clipped tap rows.
+        syc = jnp.clip(sy, 0, h_in - 1)
+        if stream:
+            r0 = jnp.minimum((jnp.min(syc) // 8) * 8, h_in - rh)
+            r0 = jnp.maximum(r0, r0_row)
+            off = pl.multiple_of(r0 - r0_row, 8)
+        else:
+            r0 = jnp.minimum((jnp.min(syc) // 8) * 8, h_pad - rh)
+            r0 = pl.multiple_of(r0, 8)
+
+        def load(ci):
+            if stream:
+                blk = band_hbm[step % 2, ci, pl.ds(off, rh),
+                               pl.ds(c_al, 256)]
+            else:
+                blk = src_ref[ci, pl.ds(r0, rh), pl.ds(c_al, 256)]
+            if u8:
+                return blk.astype(jnp.int32).astype(jnp.float32)
+            return blk.astype(jnp.float32)
+
+        band256 = (
+            load(0) if cs == 1
+            else jnp.concatenate([load(ci) for ci in range(cs)], axis=0)
+        )
+        # Window slices for the two x taps (dynamic rotate is 32-bit
+        # only, hence rolling the f32 widen).  banda[k] = src col
+        # c1 + k; bandm[k] = src col c1 + k - 1.
+        banda = pltpu.roll(band256, (256 - d) % 256, 1)[:, :_KW]
+        bandm = pltpu.roll(band256, (257 - d) % 256, 1)[:, :_KW]
+
+        sx_rel = sx - c1
+        sy_rel = sy - r0
+        # ONE selection field serves both taps, keyed on sx_rel + 1:
+        # a roll-derived second field keyed on sx_rel would lose the
+        # valid sx+1 tap when sx == c1 - 1 (fx in (-1, 0) at the left
+        # image edge).  sx_rel + 1 >= 1 for every valid tap0 and
+        # selects tap1 at sx_rel + 1 <= 127, so both taps stay
+        # representable; out-of-field matches only occur for taps the
+        # validity masks already zero.
+        G = (cc == sx_rel + 1).astype(fdt)
+
+        if u8:
+            p0 = jnp.dot(bandm.astype(fdt), G,
+                         preferred_element_type=jnp.float32)
+            p1 = jnp.dot(banda.astype(fdt), G,
+                         preferred_element_type=jnp.float32)
+        else:
+            # Dekker split: band == hi + lo exactly, each bf16; two
+            # bf16 passes with a 0/1 field are an exact f32 selection.
+            bmh = bandm.astype(fdt)
+            bml = (bandm - bmh.astype(jnp.float32)).astype(fdt)
+            bah = banda.astype(fdt)
+            bal = (banda - bah.astype(jnp.float32)).astype(fdt)
+            p0 = jnp.dot(bmh, G, preferred_element_type=jnp.float32)
+            p0 += jnp.dot(bml, G, preferred_element_type=jnp.float32)
+            p1 = jnp.dot(bah, G, preferred_element_type=jnp.float32)
+            p1 += jnp.dot(bal, G, preferred_element_type=jnp.float32)
+
+        wx0v = wx0 * x0_ok
+        wx1v = wx1 * x1_ok
+        wy0v = wy0 * y0_ok
+        wy1v = wy1 * y1_ok
+        wsum = (wx0 * x0_ok + wx1 * x1_ok) * (wy0 * y0_ok + wy1 * y1_ok)
+        backfill = (1.0 - wsum) * jnp.float32(bv)
+
+        # Vertical 2-tap select as one iota-compare weight field —
+        # shared by every channel; one VPU multiply+reduce per channel.
+        wv = jnp.where(dd == sy_rel, wy0v, 0.0) + jnp.where(
+            dd == sy_rel + 1, wy1v, 0.0
+        )
+
+        for ci in range(cs):
+            rs = slice(ci * rh, (ci + 1) * rh)
+            hrows = wx0v * p0[rs] + wx1v * p1[rs]
+            acc = jnp.sum(wv * hrows, axis=0, keepdims=True) + backfill
+            if u8:
+                # Q22 truncation; no direct f32->u8 cast on Mosaic.
+                acc = jnp.clip(jnp.floor(acc + 1e-4), 0, 255)
+                acc = acc.astype(jnp.int32).astype(jnp.uint8)
+            for trow in range(t):
+                out_ref[ci, trow, b * lb : (b + 1) * lb] = acc[
+                    0, trow * lb : (trow + 1) * lb
+                ]
 
 
 @functools.partial(
@@ -337,73 +361,36 @@ def warp_supported(minv, h_in, w_in, itemsize: int = 1,
 )
 def _call(planes, *, m, h_out, w_out, u8, bv, interpret):
     c, h_in, w_in = planes.shape
-    l = 128
     itemsize = 1 if u8 else 4
-    stream = h_in * w_in * itemsize > _PLANE_BUDGET
+    plan = _plan(np.asarray(m).reshape(2, 3), c, h_in, w_in, h_out,
+                 w_out, itemsize)
+    t, lb, rh = plan["t"], plan["lb"], plan["rh"]
+    nb, wp, cs = plan["nb"], plan["wp"], plan["cs"]
+    h_pad, w_pad, rbh = plan["h_pad"], plan["w_pad"], plan["rbh"]
+    stream = rbh > 0
 
-    if stream:
-        # Source stays in HBM, unpadded (gated to h%8 == 0, w%128 == 0
-        # by warp_supported); per-tile-row bands DMA into VMEM scratch.
-        h_pad, w_pad = h_in, w_in
-    else:
-        # Pad the plane so the maximal aligned band start stays
-        # in-bounds.
-        h_pad = _round_up(h_in, 32)
-        w_pad = _round_up(w_in, 128)
-        if (h_pad, w_pad) != (h_in, w_in):
-            planes = jnp.pad(
-                planes, ((0, 0), (0, h_pad - h_in), (0, w_pad - w_in))
-            )
-
-    # Tile height: taller tiles halve the grid-step count (per-step
-    # overhead ~0.7 us) while growing the per-tile row band rh and the
-    # selection-dot MACs.  Measured at 1080p u8: t=8 → 0.734 ms,
-    # t=16 → 0.678, t=32 → 0.677 — prefer 16, shed to 8 when its
-    # VMEM working set doesn't fit (large bands), then 32.
-    for t in (16, 8, 32):
-        bh, bw, rh, cw = _band_sizes(m, t, l, h_pad, w_pad)
-        if stream:
-            rbh = _row_band_height(m, t, l, w_out, h_in, bh)
-            cs = (
-                c
-                if c * rbh * w_pad * itemsize <= _BAND_BUDGET
-                else 1
-            )
-            resident = cs * rbh * w_pad * itemsize
-        else:
-            rbh = 0
-            # Channel stacking: when every plane fits VMEM together,
-            # process all c channels per grid step with the bands
-            # stacked along the dot's M axis — 3x fewer selection-field
-            # builds and a taller, better-utilized MXU M dimension.
-            cs = c if c * h_pad * w_pad * itemsize <= _PLANE_BUDGET else 1
-            resident = c * h_pad * w_pad * itemsize
-        work = (
-            2 * cw * t * l * (2 if u8 else 4)  # F/F1 fields
-            + 2 * cs * rh * t * l * 4  # p0cat/p1cat
-            + rh * t * l * 4  # wv
-            + cs * rh * bw * 4  # band
+    if not stream and (h_pad, w_pad) != (h_in, w_in):
+        planes = jnp.pad(
+            planes, ((0, 0), (0, h_pad - h_in), (0, w_pad - w_in))
         )
-        if work + resident <= 12 * 1024 * 1024:
-            break
-    hp = pl.cdiv(h_out, t) * t
-    wp = pl.cdiv(w_out, l) * l
-    grid = (c // cs, hp // t, wp // l)
+
+    ns = pl.cdiv(h_out, t)
+    grid = (c // cs, ns)
     kernel = functools.partial(
-        _kernel, m=m, h_in=h_in, w_in=w_in, t=t, l=l, bh=bh, bw=bw, rh=rh,
-        cw=cw, u8=u8, bv=bv, cs=cs, rbh=rbh,
+        _kernel, m=m, h_in=h_in, w_in=w_in, t=t, lb=lb, rh=rh, nb=nb,
+        cs=cs, h_pad=h_pad, w_pad=w_pad, rbh=rbh, u8=u8, bv=bv, ns=ns,
     )
     dtype = jnp.uint8 if u8 else jnp.float32
     if stream:
         in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)]
         scratch_shapes = [
-            pltpu.VMEM((cs, rbh, w_pad), planes.dtype),
-            pltpu.SemaphoreType.DMA((cs,)),
+            pltpu.VMEM((2, cs, rbh, w_pad), planes.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         in_specs = [
             pl.BlockSpec(
-                (cs, h_pad, w_pad), lambda ci, ty, tx: (ci, 0, 0),
+                (cs, h_pad, w_pad), lambda ci, s: (ci, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ]
@@ -413,10 +400,10 @@ def _call(planes, *, m, h_out, w_out, u8, bv, interpret):
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (cs, t, l), lambda ci, ty, tx: (ci, ty, tx),
+            (cs, t, wp), lambda ci, s: (ci, s, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((c, hp, wp), dtype),
+        out_shape=jax.ShapeDtypeStruct((c, ns * t, wp), dtype),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(planes)

@@ -290,7 +290,7 @@ def warp_affine(
 
         if vconfig.use_pallas() and warp_supported(
             minv, planes.shape[-2], planes.shape[-1], data.dtype.itemsize,
-            w_out=dsize.w,
+            w_out=dsize.w, h_out=dsize.h, c=planes.shape[0],
         ):
             use_kernel = True
 
