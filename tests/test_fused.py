@@ -73,12 +73,15 @@ def test_resize_normalize_fused_kernel_route(bgr_640x360):
     ref = vc.resize_normalize(bgr_640x360, (224, 224)).numpy()  # jnp
     assert out.shape == ref.shape == (224, 224, 3)
     assert abs(cosine_similarity(out, ref) - 1) < 1e-4
-    # 176-wide input (176*3 lanes not 128-aligned) -> jnp fallback.
+    # 176-wide input (176*3 lanes not 128-aligned): the round-3 gate
+    # lift routes it through the kernel via the wrapper's lane pad.
     src = bgr_640x360[:144, :176]
     with config.backend("pallas"):
         before = config.kernel_count("preprocess_fused")
-        vc.resize_normalize(np.ascontiguousarray(src), (64, 64))
-        assert config.kernel_count("preprocess_fused") == before
+        out2 = vc.resize_normalize(np.ascontiguousarray(src), (64, 64))
+        assert config.kernel_count("preprocess_fused") > before
+    ref2 = vc.resize_normalize(np.ascontiguousarray(src), (64, 64)).numpy()
+    assert abs(cosine_similarity(out2.numpy(), ref2) - 1) < 1e-4
 
 
 def test_resize_normalize_vsize_dsize_pallas_route(bgr_640x360):

@@ -59,13 +59,21 @@ def test_batch_routes_to_fused_kernel(rng):
 
 
 def test_unsupported_shape_falls_back(rng):
-    # 200x300: 300*3=900 lanes (not a multiple of 128) -> jnp chain.
+    # 200x300 (900 lanes) now routes through the fused kernel via the
+    # wrapper pad (round-3 gate lift); a 24-row frame (below the DMA
+    # chunk floor) still falls back to the jnp chain.
     x = rng.integers(0, 256, size=(200, 300, 3), dtype=np.uint8)
     cfg = PreprocessConfig(out_size=(64, 64))
     with config.backend("pallas"):
         pre = Preprocessor(cfg)
-        assert pre._fused_geometry(x.shape, x.dtype) is None
+        assert pre._fused_geometry(x.shape, x.dtype) is not None
         out = np.asarray(pre(x))
+    assert out.shape == (3, 64, 64)
+    tiny = rng.integers(0, 256, size=(24, 256, 3), dtype=np.uint8)
+    with config.backend("pallas"):
+        pre = Preprocessor(cfg)
+        assert pre._fused_geometry(tiny.shape, tiny.dtype) is None
+        out = np.asarray(pre(tiny))
     assert out.shape == (3, 64, 64)
 
 

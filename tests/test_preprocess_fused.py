@@ -53,15 +53,20 @@ def test_plan_supported_bench_config():
 
 
 def test_plan_rejects_unsupported():
-    # width not a multiple of 128 lanes after interleave
-    assert not plan_supported(360, 630, 0, 630, 360, 224, 224)
+    # non-128-multiple widths and odd heights now plan via the
+    # wrapper's pad (round-3 gate lift) — including the reference's
+    # own 176x144 and 284x214 assets
+    assert plan_supported(360, 630, 0, 630, 360, 224, 224)
+    assert plan_supported(144, 176, 0, 176, 144, 224, 224)
+    assert plan_supported(214, 284, 0, 284, 214, 224, 224)
     # crop height below the smallest DMA chunk (32 rows)
     assert not plan_supported(360, 640, 0, 640, 24, 64, 64)
     # 96-row crops now plan with an adaptively smaller chunk
     assert plan_supported(360, 640, 0, 640, 96, 64, 64)
     with pytest.raises(ValueError):
-        preprocess_fused_batch(
-            np.zeros((1, 360, 630, 3), np.uint8), None, (224, 224)
+        preprocess_fused_batch(  # 24-row crop: below the chunk floor
+            np.zeros((1, 360, 640, 3), np.uint8),
+            vc.VRect(0, 0, 640, 24), (64, 64)
         )
 
 
@@ -143,3 +148,25 @@ def test_fused_runtime_top(rng):
     )
     want = jnp_pipeline(batch, rect2, OUT)
     assert abs(cosine_similarity(moved, want) - 1) < 1e-6
+
+
+def test_fused_odd_geometry_assets(rng):
+    """The reference's own odd-geometry assets (176x144, 284x214) run
+    through the fused kernel (round-3 gate lift: wrapper row/lane pad)
+    and match the jnp chain."""
+    import jax.numpy as jnp
+
+    import vacv_tpu as vc
+    from vacv_tpu.utils.compare import cosine_similarity
+
+    for h, w, rect in [(144, 176, None), (214, 284, None),
+                       (214, 284, vc.VRect(10, 6, 270, 202))]:
+        batch = jnp.asarray(
+            rng.integers(0, 256, (2, h, w, 3), dtype=np.uint8)
+        )
+        out = np.asarray(
+            preprocess_fused_batch(batch, rect, (224, 224), precise=True)
+        )
+        ref = jnp_pipeline(np.asarray(batch), rect, (224, 224))
+        c = cosine_similarity(out, ref)
+        assert abs(c - 1) < 1e-4, (h, w, rect, c)

@@ -155,14 +155,18 @@ def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
     w3 = w_img * 3
     if left < 0 or cw <= 0 or ch <= 0 or left + cw > w_img or ch > h_img:
         return None         # crop must sit inside the frame
-    if w3 % _LANE:          # lane-pad odd widths via the jnp path
-        return None
     if ch < chunk:          # tiny crops: jnp path (chunk would read
         return None         # past the crop for an unknown runtime top)
     if h_img % 8 or h_img < chunk + 8:
         # DMA row offsets must be 8-aligned (i8 HBM tiling); the
         # aligned-base + shifted-weight-variant trick needs H % 8 == 0.
+        # Odd heights are handled by the wrapper (one-time row pad),
+        # so only h_img < chunk + 8 rejects here in practice.
         return None
+    # NOTE: w3 need not be a multiple of 128 — VMEM refs carry
+    # implicit lane padding, so ragged-width DMA chunks and a ragged
+    # accumulator lower fine (lifts the round-2 w*3 % 128 gate that
+    # excluded the reference's own 176x144 / 284x214 assets).
 
     # ---- vertical: chunked Q11 bilinear rows ----------------------
     wy_full = _linear_weights(ch, oh, quantize=True)  # (oh, ch)
@@ -223,6 +227,11 @@ def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
         xband = max(xband, _ceil_to(c1 - c0, _LANE))
     if xband > w3:
         return None
+    # Grow the band so w3 - xband is 128-aligned: slid starts
+    # (c0 = w3 - xband) then stay lane-aligned with coverage to the
+    # row end (ragged-width frames would otherwise need an unaligned
+    # accumulator slice, which relayouts).
+    xband += (w3 - xband) % _LANE
     xstarts = []
     wx = np.zeros((n_xblocks, xband, _LANE), np.float32)
     for b in range(n_xblocks):
@@ -230,7 +239,8 @@ def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
             xstarts.append(0)
             continue
         # The band is uniform (= the widest block's); slide the start
-        # down so it never pokes past the row end.
+        # down so it never pokes past the row end (w3 - xband is
+        # 128-aligned by construction above).
         c0 = min(raw[b][0], w3 - xband)
         xstarts.append(c0)
         for i in range(_LANE):
@@ -243,11 +253,12 @@ def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
 
     rows = chunk + 8
     owp = _ceil_to(ow, _LANE)
+    w3p = _ceil_to(w3, _LANE)  # implicit VMEM lane padding
     wx_hl = _split_hi_lo(wx)
     vmem = (
-        oh * w3 * 4                      # f32 accumulator
-        + nbuf * rows * w3               # pipelined u8 chunk buffers
-        + rows * w3 * 4                  # widen temporaries (i16+bf16)
+        oh * w3p * 4                     # f32 accumulator
+        + nbuf * rows * w3p              # pipelined u8 chunk buffers
+        + rows * w3p * 4                 # widen temporaries (i16+bf16)
         # wy block (+pipeline copy); the precise path streams both the
         # hi and lo Dekker halves, doubling the block.
         + row_win * rows * 2 * 2 * (2 if precise else 1)
@@ -497,9 +508,22 @@ def _call(batch, top, wy_arr, wx_arr, starts_arr, out0_arr, *, left, cw,
     )
 
 
+def _pad_geometry(h, w):
+    """The wrapper's padded (h, w) for a frame: rows to a multiple of 8
+    (8-aligned DMA windows) and columns so w*3 is a multiple of 128
+    (Mosaic rejects ragged lane slices of the HBM source; 3 and 128
+    are coprime, so dw = -w*3 * 3^-1 mod 128 with 3^-1 = 43).  Already-
+    aligned frames (every ladder size >= 640x360) pad nothing."""
+    dw = (-(w * 3) * 43) % 128
+    return _ceil_to(h, 8), w + dw
+
+
 def plan_supported(h, w, left, cw, ch, oh, ow) -> bool:
-    """Can the fused kernel run this config?"""
-    return _plan(h, w, left, cw, ch, oh, ow) is not None
+    """Can the fused kernel run this config?  (Odd geometries plan
+    with the wrapper's pad applied, mirroring preprocess_fused_batch.)
+    """
+    hp, wp = _pad_geometry(h, w)
+    return _plan(hp, wp, left, cw, ch, oh, ow) is not None
 
 
 def _static_stats(v):
@@ -555,6 +579,16 @@ def preprocess_fused_batch(
         cw = int(crop_rect.width())
         ch = int(crop_rect.height())
     ow, oh = int(out_size[0]), int(out_size[1])
+    hp, wp = _pad_geometry(h, w)
+    if (hp, wp) != (h, w):
+        # Odd geometries (the reference's 176x144 / 284x214 assets)
+        # pay a one-time bottom/right pad — an extra pass over a small
+        # frame, still far cheaper than the jnp chain.  Crop taps
+        # never reference the pad.
+        batch = jnp.pad(
+            batch, ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
+        )
+        h, w = hp, wp
     pv = precise and not config.pallas_interpret()
     if _plan(h, w, left, cw, ch, oh, ow, pv) is None:
         raise ValueError("config not supported by the fused kernel")
