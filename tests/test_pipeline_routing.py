@@ -125,3 +125,32 @@ def test_normalize_dispatcher_reaches_pallas_kernel(rng):
         before = config.kernel_count("normalize_fused")
         vc.normalize(y)
         assert config.kernel_count("normalize_fused") == before
+
+
+def test_nv_pipeline_routes_through_fused(rng):
+    """A color_code=NV21 Preprocessor config runs the one-pass fused
+    NV kernel (VERDICT round-2 item 2: camera pipelines no longer pay
+    a separate decode + extra HBM round-trip)."""
+    from vacv_tpu.utils.io import bgr2nv21_numpy
+
+    h, w = 360, 640
+    bgr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    nv = bgr2nv21_numpy(bgr).reshape(h * 3 // 2, w)
+    cfg = PreprocessConfig(
+        color_code=vc.ColorCode.COLOR_YUV2BGR_NV21,
+        crop_rect=vc.VRect(16, 8, 16 + 600, 8 + 336),
+        out_size=(112, 112),
+    )
+    with config.backend("pallas"):
+        pre = Preprocessor(cfg)
+        geom = pre._fused_geometry(nv.shape, nv.dtype)
+        assert geom is not None and geom[0] is False
+        before = config.kernel_count("preprocess_fused_nv")
+        out = np.asarray(pre(nv))
+        assert config.kernel_count("preprocess_fused_nv") > before
+    with config.backend("jnp"):
+        want = np.asarray(Preprocessor(cfg)(nv))
+    from vacv_tpu.utils.compare import cosine_similarity
+
+    assert out.shape == want.shape == (3, 112, 112)
+    assert abs(cosine_similarity(out, want) - 1) < 1e-4

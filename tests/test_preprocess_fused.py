@@ -170,3 +170,78 @@ def test_fused_odd_geometry_assets(rng):
         ref = jnp_pipeline(np.asarray(batch), rect, (224, 224))
         c = cosine_similarity(out, ref)
         assert abs(c - 1) < 1e-4, (h, w, rect, c)
+
+
+# ---- NV camera input (decode folded into the fused kernel) -------------
+
+def _nv_ref_pipeline(nv_batch, code, rect, out_size, mean=None,
+                     stddev=None):
+    """decode → crop → resize → CHW f32 → normalize via the jnp ops."""
+    outs = []
+    ow, oh = out_size
+    for i in range(nv_batch.shape[0]):
+        img = vc.cvt_color(np.asarray(nv_batch[i]), code)
+        if rect is not None:
+            img = crop(img, rect)
+        img = resize(img, (ow, oh))
+        img = img.change_layout(vc.CHW).change_dtype("float32")
+        img = normalize_jnp(img, mean, stddev)
+        outs.append(np.asarray(img.data))
+    return np.stack(outs)
+
+
+def _make_nv(rng, n, h, w):
+    from vacv_tpu.utils.io import bgr2nv21_numpy
+
+    return np.stack([
+        bgr2nv21_numpy(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        ).reshape(h * 3 // 2, w)
+        for _ in range(n)
+    ])
+
+
+@pytest.mark.parametrize("is_nv12", [False, True])
+def test_fused_nv_matches_decode_chain(rng, is_nv12):
+    from vacv_tpu.ops.pallas.preprocess import (
+        nv_plan_supported, preprocess_fused_nv_batch,
+    )
+
+    h, w = 360, 640
+    nv = _make_nv(rng, 2, h, w)
+    code = (vc.ColorCode.COLOR_YUV2BGR_NV12 if is_nv12
+            else vc.ColorCode.COLOR_YUV2BGR_NV21)
+    rect = vc.VRect(17, 24, 17 + 600, 24 + 320)
+    assert nv_plan_supported(h, w, 17, 600, 320, 96, 112)
+    got = np.asarray(preprocess_fused_nv_batch(
+        nv, rect, (112, 96), is_nv12=is_nv12, precise=True
+    ))
+    want = _nv_ref_pipeline(nv, code, rect, (112, 96))
+    assert got.shape == want.shape == (2, 3, 96, 112)
+    assert abs(cosine_similarity(got, want) - 1) < 1e-6
+
+
+def test_fused_nv_full_frame_explicit_stats(rng):
+    from vacv_tpu.ops.pallas.preprocess import preprocess_fused_nv_batch
+
+    h, w = 144, 176  # the akiyo_qcif camera config — w lane-padded
+    nv = _make_nv(rng, 1, h, w)
+    mean = (104.0, 117.0, 123.0)
+    stddev = (57.1, 57.4, 58.4)
+    got = np.asarray(preprocess_fused_nv_batch(
+        nv, None, (128, 96), mean=mean, stddev=stddev, precise=True
+    ))
+    want = _nv_ref_pipeline(
+        nv, vc.ColorCode.COLOR_YUV2BGR_NV21, None, (128, 96),
+        mean=mean, stddev=stddev,
+    )
+    assert abs(cosine_similarity(got, want) - 1) < 1e-6
+
+
+def test_fused_nv_rejects_unsupported():
+    from vacv_tpu.ops.pallas.preprocess import nv_plan_supported
+
+    # odd Y height (not 8-aligned) -> decode + jnp chain
+    assert not nv_plan_supported(214, 284, 0, 284, 214, 224, 224)
+    # crop below the chunk floor
+    assert not nv_plan_supported(360, 640, 0, 640, 24, 64, 64)

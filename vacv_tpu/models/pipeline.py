@@ -123,37 +123,55 @@ class Preprocessor:
         if not config.use_pallas():
             return None
         if (
-            cfg.color_code is not None
-            or cfg.warp is not None
+            cfg.warp is not None
             or cfg.out_size is None
             or InterMode(cfg.interpolation) != InterMode.INTER_LINEAR
             or cfg.out_layout != Layout.CHW
         ):
             return None
-        if len(shape) != 3 or shape[-1] != 3 or dtype != jnp.uint8:
-            return None
-        h, w, _ = shape
+        nv = None  # None = BGR path; False = NV21; True = NV12
+        if cfg.color_code is not None:
+            code = ColorCode(cfg.color_code)
+            if code == ColorCode.COLOR_YUV2BGR_NV21:
+                nv = False
+            elif code == ColorCode.COLOR_YUV2BGR_NV12:
+                nv = True
+            else:
+                return None
+            if len(shape) != 2 or dtype != jnp.uint8 or shape[0] % 3:
+                return None
+            h, w = shape[0] * 2 // 3, shape[1]
+        else:
+            if len(shape) != 3 or shape[-1] != 3 or dtype != jnp.uint8:
+                return None
+            h, w, _ = shape
         if cfg.crop_rect is None:
             left, top, cw, ch = 0, 0, w, h
         else:
             left, top, cw, ch = cfg.crop_rect.int_bounds()
         ow, oh = int(cfg.out_size[0]), int(cfg.out_size[1])
-        from ..ops.pallas.preprocess import plan_supported
+        from ..ops.pallas.preprocess import (
+            nv_plan_supported, plan_supported,
+        )
 
-        if not plan_supported(h, w, left, cw, ch, oh, ow):
+        ok = (
+            nv_plan_supported(h, w, left, cw, ch, oh, ow, top)
+            if nv is not None
+            else plan_supported(h, w, left, cw, ch, oh, ow)
+        )
+        if not ok:
             return None
-        return (left, top, cw, ch, oh, ow)
+        return (nv, left, top, cw, ch, oh, ow)
 
     def _run_fused(self, batch, geom):
-        from ..ops.pallas.preprocess import preprocess_fused_batch
+        from ..ops.pallas.preprocess import (
+            preprocess_fused_batch, preprocess_fused_nv_batch,
+        )
 
         cfg = self.cfg
-        left, top, cw, ch, oh, ow = geom
+        nv, left, top, cw, ch, oh, ow = geom
         rect = VRect(left, top, left + cw, top + ch)
-        return preprocess_fused_batch(
-            batch,
-            rect,
-            (ow, oh),
+        kwargs = dict(
             mean=cfg.mean,
             stddev=cfg.stddev,
             normalize=cfg.normalize,
@@ -161,6 +179,13 @@ class Preprocessor:
             # on TPU plain bf16 matches the jnp chain's MXU numerics.
             precise=config.pallas_interpret(),
         )
+        if nv is not None:
+            # Camera chain: decode → crop → resize → normalize in ONE
+            # HBM pass (cvt_color.cpp:151-156 + resize_normalize.cpp).
+            return preprocess_fused_nv_batch(
+                batch, rect, (ow, oh), is_nv12=nv, **kwargs
+            )
+        return preprocess_fused_batch(batch, rect, (ow, oh), **kwargs)
 
     def _batch_fn(self):
         """Traceable (N, ...) batch function: fused kernel when the

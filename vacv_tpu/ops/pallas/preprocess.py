@@ -150,25 +150,14 @@ def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
     return None
 
 
-def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
-                     chunk, nbuf=_NBUF, precise=False) -> _Plan | None:
-    w3 = w_img * 3
-    if left < 0 or cw <= 0 or ch <= 0 or left + cw > w_img or ch > h_img:
-        return None         # crop must sit inside the frame
-    if ch < chunk:          # tiny crops: jnp path (chunk would read
-        return None         # past the crop for an unknown runtime top)
-    if h_img % 8 or h_img < chunk + 8:
-        # DMA row offsets must be 8-aligned (i8 HBM tiling); the
-        # aligned-base + shifted-weight-variant trick needs H % 8 == 0.
-        # Odd heights are handled by the wrapper (one-time row pad),
-        # so only h_img < chunk + 8 rejects here in practice.
-        return None
-    # NOTE: w3 need not be a multiple of 128 — VMEM refs carry
-    # implicit lane padding, so ragged-width DMA chunks and a ragged
-    # accumulator lower fine (lifts the round-2 w*3 % 128 gate that
-    # excluded the reference's own 176x144 / 284x214 assets).
-
-    # ---- vertical: chunked Q11 bilinear rows ----------------------
+def _vertical_plan(ch, oh, chunk):
+    """Chunked vertical Q11 weight tables, shared by the BGR and NV
+    plans: (n_chunks, starts, out_row0, row_win, wy) where wy is
+    (9, n_chunks, row_win, chunk+8) — chunks are DMA'd from an
+    8-aligned base row, so the crop rows sit at a runtime shift
+    rem = row0 - base ∈ [0, 8] inside a (CHUNK+8)-row buffer; the
+    9 variants pre-shift the weight columns per rem and the
+    scalar-prefetch index map picks the right one per step."""
     wy_full = _linear_weights(ch, oh, quantize=True)  # (oh, ch)
     n_chunks = -(-ch // chunk)
     starts, slices = [], []
@@ -190,11 +179,6 @@ def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
         slices.append((wyj, r0))
     row_win = min(row_win, _ceil_to(oh, 8))
     out0 = []
-    # Chunks are DMA'd from an 8-aligned base row, so the crop rows
-    # sit at a runtime shift rem = row0 - base ∈ [0, 8] inside a
-    # (CHUNK+8)-row buffer.  Pre-shift the weight columns for each of
-    # the 9 possible rem values; the scalar-prefetch index map picks
-    # the right variant per step.
     wy = np.zeros((9, n_chunks, row_win, chunk + 8), np.float32)
     for j, (wyj, r0) in enumerate(slices):
         r0 = min(r0, max(oh - row_win, 0))
@@ -204,6 +188,32 @@ def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
             return None  # window miss (cannot happen; belt-and-braces)
         for rem in range(9):
             wy[rem, j, : r1 - r0, rem : rem + chunk] = wyj[r0:r1]
+    return n_chunks, starts, out0, row_win, wy
+
+
+def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
+                     chunk, nbuf=_NBUF, precise=False) -> _Plan | None:
+    w3 = w_img * 3
+    if left < 0 or cw <= 0 or ch <= 0 or left + cw > w_img or ch > h_img:
+        return None         # crop must sit inside the frame
+    if ch < chunk:          # tiny crops: jnp path (chunk would read
+        return None         # past the crop for an unknown runtime top)
+    if h_img % 8 or h_img < chunk + 8:
+        # DMA row offsets must be 8-aligned (i8 HBM tiling); the
+        # aligned-base + shifted-weight-variant trick needs H % 8 == 0.
+        # Odd heights are handled by the wrapper (one-time row pad),
+        # so only h_img < chunk + 8 rejects here in practice.
+        return None
+    # NOTE: w3 need not be a multiple of 128 — VMEM refs carry
+    # implicit lane padding, so ragged-width DMA chunks and a ragged
+    # accumulator lower fine (lifts the round-2 w*3 % 128 gate that
+    # excluded the reference's own 176x144 / 284x214 assets).
+
+    # ---- vertical: chunked Q11 bilinear rows ----------------------
+    vert = _vertical_plan(ch, oh, chunk)
+    if vert is None:
+        return None
+    n_chunks, starts, out0, row_win, wy = vert
 
     # ---- horizontal: banded Q11 bilinear over interleaved lanes ---
     wx_full = _linear_weights(cw, ow, quantize=True)  # (ow, cw)
@@ -601,6 +611,471 @@ def preprocess_fused_batch(
         top0 if top is None else top,
         wy_arr, wx_arr, starts_arr, out0_arr,
         left=left, cw=cw, ch=ch, oh=oh, ow=ow,
+        trunc_u8=trunc_u8, precise=precise,
+        do_norm=bool(normalize),
+        mean_s=_static_stats(mean), std_s=_static_stats(stddev),
+        interpret=config.pallas_interpret(),
+    )
+    return res
+
+
+# ===================================================================
+# NV12/NV21 camera input: decode -> crop -> resize -> CHW -> normalize
+# in ONE HBM pass (reference chain: cvt_color.cpp:151-156 feeding
+# resize_normalize.cpp:15-107 — BASELINE configs 2/5).
+#
+# The BGR kernel's interleaved-lane machinery disappears here: the NV
+# source is planar (Y stacked over interleaved VU), so the pipeline
+# stays planar end to end — per-chunk Q7 decode (the yuv2bgr kernel's
+# lane roll+parity select and an in-kernel 0/1 row-repeat matmul whose
+# row map is built from the runtime DMA base), per-channel banded
+# vertical/horizontal Q11 resize matmuls, in-VMEM moments + scale, and
+# NO deinterleave stage at all (the output is planar already).
+# ===================================================================
+
+
+@dataclass(frozen=True)
+class _NvPlan:
+    n_chunks: int
+    chunk_rows: int      # CH (Y rows per chunk)
+    rows_c: int          # chroma buffer rows per chunk
+    row_win: int
+    starts: tuple
+    out_row0: tuple
+    cstarts: tuple       # (n_chunks,) absolute 8-aligned chroma starts
+    owp: int
+    n_xblocks: int
+    xband: int
+    xstarts: tuple
+    wy: np.ndarray       # (9, n_chunks, RW, CH+8) hi/lo split applied
+    wx: np.ndarray       # (2, n_xblocks, xband, 128) bf16 hi/lo
+    vmem_bytes: int
+    nbuf: int
+
+
+@functools.lru_cache(maxsize=64)
+def _plan_nv(h_img: int, w_img: int, top: int, left: int, cw: int,
+             ch: int, oh: int, ow: int,
+             precise: bool = False) -> _NvPlan | None:
+    """NV plan: h_img/w_img are the *Y-plane* dims of the stacked
+    (h*3//2, w) buffer.  ``top`` is STATIC for the NV kernel: the
+    chroma plane starts mid-buffer (row h), so its DMA windows are
+    resolved at plan time — h*3//2 is not 8-aligned for common camera
+    heights (1080 → 1620) and a runtime bottom clamp would land on a
+    misaligned row.  Returns None if unsupported."""
+    if ch <= 0:
+        return None
+    cands = sorted(
+        (
+            (chunk, nbuf)
+            for chunk in range(32, min(225, max(ch + 1, 33)), 8)
+            for nbuf in (4, 3, 2)
+        ),
+        key=lambda cn: (
+            -(-ch // cn[0])
+            * (cn[0] + 8 + 48)
+            * (1.0 + 0.15 * (4 - cn[1]) ** 2),
+            -cn[0],
+        ),
+    )
+    for chunk, nbuf in cands:
+        p = _plan_nv_with_chunk(
+            h_img, w_img, top, left, cw, ch, oh, ow, chunk, nbuf, precise
+        )
+        if p is not None:
+            return p
+    return None
+
+
+def _plan_nv_with_chunk(h_img, w_img, top, left, cw, ch, oh, ow,
+                        chunk, nbuf=_NBUF, precise=False) -> _NvPlan | None:
+    if left < 0 or cw <= 0 or ch <= 0 or left + cw > w_img or ch > h_img:
+        return None
+    if top < 0 or top + ch > h_img:
+        return None
+    if h_img % 8 or w_img % 2 or w_img % _LANE:
+        # Y height must be 8-aligned (DMA windows; camera frames are);
+        # the wrapper lane-pads odd widths before planning.
+        return None
+    if ch < chunk or h_img < chunk + 8:
+        return None
+
+    vert = _vertical_plan(ch, oh, chunk)
+    if vert is None:
+        return None
+    n_chunks, starts, out0, row_win, wy = vert
+
+    # Per-chunk chroma DMA windows, fully static (top is static).
+    rows = chunk + 8
+    rows_c = _ceil_to(chunk // 2 + 12, 8)
+    hbuf = h_img * 3 // 2
+    cstarts = []
+    for s in starts:
+        base = min(((top + s) // 8) * 8, h_img - rows)
+        c0 = ((h_img + base // 2) // 8) * 8
+        c0 = min(c0, ((hbuf - rows_c) // 8) * 8)
+        # Coverage: the window must reach the chunk's last chroma row.
+        if c0 + rows_c <= h_img + (base + rows - 1) // 2:
+            return None  # crop touches the DMA-unreachable tail rows
+        cstarts.append(c0)
+
+    # ---- horizontal: planar banded Q11 bilinear ------------------
+    wx_full = _linear_weights(cw, ow, quantize=True)  # (ow, cw)
+    owp = _ceil_to(ow, _LANE)
+    n_xblocks = owp // _LANE
+    taps = [np.nonzero(wx_full[o])[0] for o in range(ow)]
+    raw, xband = [], _LANE
+    for b in range(n_xblocks):
+        src_lanes = [
+            left + t
+            for o in range(b * _LANE, min((b + 1) * _LANE, ow))
+            for t in taps[o]
+        ]
+        if not src_lanes:
+            raw.append(None)
+            continue
+        c0 = (min(src_lanes) // _LANE) * _LANE
+        raw.append((c0, max(src_lanes) + 1))
+        xband = max(xband, _ceil_to(max(src_lanes) + 1 - c0, _LANE))
+    if xband > w_img:
+        return None
+    xband += (w_img - xband) % _LANE  # slid starts stay lane-aligned
+    xstarts = []
+    wx = np.zeros((n_xblocks, xband, _LANE), np.float32)
+    for b in range(n_xblocks):
+        if raw[b] is None:
+            xstarts.append(0)
+            continue
+        c0 = min(raw[b][0], w_img - xband)
+        xstarts.append(c0)
+        for o in range(b * _LANE, min((b + 1) * _LANE, ow)):
+            for t in taps[o]:
+                wx[b, left + t - c0, o - b * _LANE] = wx_full[o, t]
+
+    wx_hl = _split_hi_lo(wx)
+    vmem = (
+        3 * oh * w_img * 4               # per-channel f32 accumulators
+        + nbuf * rows * w_img            # pipelined u8 Y chunks
+        + nbuf * rows_c * w_img          # pipelined u8 VU chunks
+        + 4 * rows * w_img * 4           # decode temporaries (peak)
+        + row_win * rows * 2 * 2 * (2 if precise else 1)
+        + wx_hl.nbytes // (1 if precise else 2)
+        + 3 * oh * owp * 4               # planar out block
+        + oh * xband * 4                 # horizontal operand temp
+    )
+    if vmem > _VMEM_BUDGET:
+        return None
+    return _NvPlan(
+        n_chunks, chunk, rows_c, row_win, tuple(starts), tuple(out0),
+        tuple(cstarts), owp, n_xblocks, xband, tuple(xstarts),
+        _split_hi_lo(wy), wx_hl, vmem, nbuf,
+    )
+
+
+def _kernel_nv(
+    # scalar prefetch
+    top_ref, starts_ref, out0_ref, cstart_ref,
+    # inputs
+    src_hbm, wy_ref, wx_ref,
+    # outputs
+    out_ref,
+    # scratch
+    acc, ybuf, cbuf, ysem, csem,
+    *, plan: _NvPlan, h_y: int, oh: int, ow: int, is_nv12: bool,
+    trunc_u8: bool, precise: bool, do_norm, mean_s, std_s,
+):
+    nj = plan.n_chunks
+    f = pl.program_id(0)
+    j = pl.program_id(1)
+    step = f * nj + j
+    rows = plan.chunk_rows + 8
+    rows_c = plan.rows_c
+    hbuf = src_hbm.shape[1]
+
+    def base_of(jj):
+        row0 = top_ref[0] + starts_ref[jj]
+        return jnp.minimum((row0 // 8) * 8, h_y - rows)
+
+    def cstart_of(jj):
+        # Plan-time-resolved aligned chroma window start (may dip into
+        # the Y region; garbage rows are never referenced by the row
+        # map).
+        return cstart_ref[jj]
+
+    def dma_y(slot, ff, jj):
+        return pltpu.make_async_copy(
+            src_hbm.at[ff, pl.ds(pl.multiple_of(base_of(jj), 8), rows), :],
+            ybuf.at[slot],
+            ysem.at[slot],
+        )
+
+    def dma_c(slot, ff, jj):
+        return pltpu.make_async_copy(
+            src_hbm.at[ff, pl.ds(pl.multiple_of(cstart_of(jj), 8), rows_c), :],
+            cbuf.at[slot],
+            csem.at[slot],
+        )
+
+    nbuf = plan.nbuf
+    n_total = pl.num_programs(0) * nj
+
+    @pl.when(step == 0)
+    def _():
+        for k in range(nbuf - 1):
+            @pl.when(k < n_total)
+            def _():
+                dma_y(k % nbuf, k // nj, k % nj).start()
+                dma_c(k % nbuf, k // nj, k % nj).start()
+
+    nxt = step + nbuf - 1
+
+    @pl.when(nxt < n_total)
+    def _():
+        dma_y(nxt % nbuf, nxt // nj, nxt % nj).start()
+        dma_c(nxt % nbuf, nxt // nj, nxt % nj).start()
+
+    dma_y(step % nbuf, f, j).wait()
+    dma_c(step % nbuf, f, j).wait()
+
+    @pl.when(j == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    # ---- Q7 NV decode for this chunk (yuv2bgr kernel's scheme) ----
+    w_img = ybuf.shape[2]
+    vu = cbuf[step % nbuf].astype(jnp.int32)  # (rows_c, W)
+    even = jax.lax.broadcasted_iota(jnp.int32, (rows_c, w_img), 1) % 2 == 0
+    second = pltpu.roll(vu, 1, 1)
+    prev = pltpu.roll(vu, w_img - 1, 1)
+    a_full = jnp.where(even, vu, second)      # pair's lane-0 byte
+    b_full = jnp.where(even, prev, vu)        # pair's lane-1 byte
+    if is_nv12:
+        u, v = a_full - 128, b_full - 128
+    else:
+        v, u = a_full - 128, b_full - 128
+    ra = (179 * v) >> 7
+    ga = (44 * u + 91 * v) >> 7
+    ba = (227 * u) >> 7
+    # One row-repeat dot for all three adders (lane-concatenated).
+    adders = jnp.concatenate([ba, ga, ra], axis=1)
+
+    # Row map Y buffer row i -> chroma buffer row, built from the
+    # runtime DMA bases: rep[i, jj] = (jj == h_y + (base+i)//2 - a8).
+    base = base_of(j)
+    a8 = cstart_of(j)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (rows, rows_c), 0)
+    jj2 = jax.lax.broadcasted_iota(jnp.int32, (rows, rows_c), 1)
+    rep = (jj2 == (h_y + (base + ii) // 2 - a8)).astype(jnp.bfloat16)
+
+    up3 = jax.lax.dot_general(  # adders are 9-bit ints: bf16 is exact
+        rep, adders.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    y = ybuf[step % nbuf].astype(jnp.int32).astype(jnp.float32)
+    planes = (
+        jnp.clip(y + up3[:, :w_img], 0.0, 255.0),              # B
+        jnp.clip(y - up3[:, w_img : 2 * w_img], 0.0, 255.0),   # G
+        jnp.clip(y + up3[:, 2 * w_img :], 0.0, 255.0),         # R
+    )
+
+    # ---- vertical banded pass, per channel ------------------------
+    r0 = pl.multiple_of(out0_ref[j], 8)
+    for c in range(3):
+        pc = planes[c].astype(jnp.bfloat16)
+        part = _dot(wy_ref[0, 0, 0], pc)
+        if precise:
+            part += _dot(wy_ref[1, 0, 0], pc)
+        acc[c, pl.ds(r0, plan.row_win), :] += part
+
+    # ---- frame's last chunk: horizontal + trunc + normalize -------
+    @pl.when(j == nj - 1)
+    def _():
+        for c in range(3):
+            for b in range(plan.n_xblocks):
+                c0 = plan.xstarts[b]
+                a = acc[c, :, c0 : c0 + plan.xband]
+                ahi = a.astype(jnp.bfloat16)
+                out = _dot(ahi, wx_ref[0, b])
+                if precise:
+                    alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    out += _dot(ahi, wx_ref[1, b])
+                    out += _dot(alo, wx_ref[0, b])
+                    out += _dot(alo, wx_ref[1, b])
+                if trunc_u8:
+                    out = jnp.clip(jnp.floor(out + 1e-4), 0.0, 255.0)
+                wblk = min(_LANE, ow - b * _LANE)
+                out_ref[0, c, :, b * _LANE : b * _LANE + wblk] = out[
+                    :, :wblk
+                ]
+            if do_norm:
+                n = float(oh * ow)
+                plane = out_ref[0, c]
+                if mean_s is None:
+                    mu = jnp.sum(plane) / n
+                else:
+                    mu = jnp.float32(mean_s[c])
+                if std_s is None:
+                    m_self = mu if mean_s is None else jnp.sum(plane) / n
+                    d = plane - m_self
+                    sd = jnp.sqrt(jnp.sum(d * d) / n)
+                else:
+                    sd = jnp.float32(std_s[c])
+                out_ref[0, c] = (plane - mu) / (sd + EPS)
+
+
+@functools.lru_cache(maxsize=64)
+def _plan_nv_tables(key, precise: bool):
+    plan = _plan_nv(*key)
+    with jax.ensure_compile_time_eval():
+        wy = jnp.asarray(plan.wy if precise else plan.wy[:1])
+        wx = jnp.asarray(plan.wx if precise else plan.wx[:1])
+        starts = jnp.asarray(plan.starts, jnp.int32)
+        out0 = jnp.asarray(plan.out_row0, jnp.int32)
+        cstarts = jnp.asarray(plan.cstarts, jnp.int32)
+    return wy, wx, starts, out0, cstarts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top", "left", "cw", "ch", "oh", "ow", "is_nv12",
+                     "trunc_u8", "precise", "interpret", "do_norm",
+                     "mean_s", "std_s"),
+)
+def _call_nv(batch, top, wy_arr, wx_arr, starts_arr, out0_arr,
+             cstarts_arr, *, left, cw, ch, oh, ow, is_nv12, trunc_u8,
+             precise, interpret, do_norm=True, mean_s=None, std_s=None):
+    n, hbuf, w = batch.shape
+    h_y = hbuf * 2 // 3
+    plan = _plan_nv(h_y, w, top, left, cw, ch, oh, ow,
+                    precise and not interpret)
+    kern = functools.partial(
+        _kernel_nv, plan=plan, h_y=h_y, oh=oh, ow=ow, is_nv12=is_nv12,
+        trunc_u8=trunc_u8, precise=precise, do_norm=do_norm,
+        mean_s=mean_s, std_s=std_s,
+    )
+    rows = plan.chunk_rows + 8
+
+    def wy_index(f, j, top_ref, starts_ref, out0_ref):
+        row0 = top_ref[0] + starts_ref[j]
+        base = jnp.minimum((row0 // 8) * 8, h_y - rows)
+        return (0, row0 - base, j, 0, 0)
+
+    def wy_index4(f, j, top_ref, starts_ref, out0_ref, cstart_ref):
+        return wy_index(f, j, top_ref, starts_ref, out0_ref)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n, plan.n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(
+                (2 if precise else 1, 1, 1, plan.row_win, rows),
+                wy_index4,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 3, oh, ow), lambda f, j, *_: (f, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, oh, w), jnp.float32),
+            pltpu.VMEM((plan.nbuf, rows, w), jnp.uint8),
+            pltpu.VMEM((plan.nbuf, plan.rows_c, w), jnp.uint8),
+            pltpu.SemaphoreType.DMA((plan.nbuf,)),
+            pltpu.SemaphoreType.DMA((plan.nbuf,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 3, oh, ow), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray([top], jnp.int32),
+        starts_arr,
+        out0_arr,
+        cstarts_arr,
+        batch,
+        wy_arr,
+        wx_arr,
+    )
+
+
+def _nv_pad_w(w):
+    """Wrapper lane pad for NV frames: w to a multiple of 128 (even,
+    so VU pair parity is preserved)."""
+    return _ceil_to(w, _LANE)
+
+
+def nv_plan_supported(h, w, left, cw, ch, oh, ow, top=0) -> bool:
+    """Can the NV fused kernel run this config?  h/w are Y-plane dims."""
+    if h % 2 or w % 2:
+        return False
+    return _plan_nv(h, _nv_pad_w(w), top, left, cw, ch, oh, ow) is not None
+
+
+def preprocess_fused_nv_batch(
+    batch,
+    crop_rect=None,
+    out_size=(224, 224),
+    *,
+    is_nv12=False,
+    top=None,
+    mean=None,
+    stddev=None,
+    normalize=True,
+    trunc_u8=True,
+    precise=False,
+):
+    """Fused NV decode → crop → resize → planar f32 → normalize over a
+    (N, H*3//2, W) u8 stacked NV batch (Y over interleaved VU —
+    NV21 by default, ``is_nv12=True`` for UV order).
+
+    Matches the reference camera chain decode-then-preprocess
+    (cvt_color.cpp:151-156 → resize_normalize.cpp:15-107) bit-for-bit
+    in its Q7/Q11 integer semantics, in ONE pass over HBM.  Returns
+    (N, 3, oh, ow) f32 (B, G, R planes).  Raises ValueError for
+    unsupported configs (callers fall back to decode + jnp chain).
+    """
+    if batch.dtype != jnp.uint8 or batch.ndim != 3:
+        raise ValueError("fused NV preprocess needs (N, H*3//2, W) uint8")
+    n, hbuf, w = batch.shape
+    if hbuf % 3 or w % 2:
+        raise ValueError("NV buffer needs H*3//2 rows and even width")
+    h = hbuf * 2 // 3
+    if crop_rect is None:
+        left, top0, cw, ch = 0, 0, w, h
+    else:
+        left, top0 = int(crop_rect.left), int(crop_rect.top)
+        cw = int(crop_rect.width())
+        ch = int(crop_rect.height())
+    ow, oh = int(out_size[0]), int(out_size[1])
+    if top is not None:
+        # The chroma DMA windows are resolved at plan time (see
+        # _plan_nv), so the NV kernel supports static crop tops only.
+        raise ValueError("fused NV preprocess needs a static crop top")
+    wp = _nv_pad_w(w)
+    pv = precise and not config.pallas_interpret()
+    if _plan_nv(h, wp, top0, left, cw, ch, oh, ow, pv) is None:
+        raise ValueError("config not supported by the fused NV kernel")
+    if wp != w:
+        batch = jnp.pad(batch, ((0, 0), (0, 0), (0, wp - w)))
+    config.record_kernel("preprocess_fused_nv")
+    wy_arr, wx_arr, starts_arr, out0_arr, cstarts_arr = _plan_nv_tables(
+        (h, wp, top0, left, cw, ch, oh, ow, pv), precise
+    )
+    (res,) = _call_nv(
+        batch,
+        top0,
+        wy_arr, wx_arr, starts_arr, out0_arr, cstarts_arr,
+        left=left, cw=cw, ch=ch, oh=oh, ow=ow, is_nv12=is_nv12,
         trunc_u8=trunc_u8, precise=precise,
         do_norm=bool(normalize),
         mean_s=_static_stats(mean), std_s=_static_stats(stddev),
