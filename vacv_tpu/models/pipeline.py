@@ -223,6 +223,12 @@ class Preprocessor:
         """The raw traceable per-image function (for vmap/shard_map)."""
         return self._build()
 
+    @property
+    def batch_fn(self):
+        """The raw traceable (N, ...) batch function — routes through
+        the fused kernel when the trace-time shape plan allows."""
+        return self._batch_fn()
+
     def batched(self, mesh=None):
         """Sharded batch version: (N, ...) with N split over the mesh's
         data axis.  Each device runs the fused kernel on its shard when
