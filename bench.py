@@ -91,7 +91,7 @@ def bench_jnp_path():
     return BATCH / sec, sec / BATCH
 
 
-def bench_fused_kernel(r_small=2, r_big=18, reps=8):
+def bench_fused_kernel(r_small=2, r_big=18, reps=12):
     """Unroll-slope timing of the fused Pallas kernel: R data-chained
     kernel invocations inside one jitted program (no fori_loop — a
     shape the remote compile service mishandles for DMA kernels), with
@@ -126,31 +126,30 @@ def bench_fused_kernel(r_small=2, r_big=18, reps=8):
 
     b = _gen_device_batch(BATCH)
 
-    def times(fn):
-        float(fn(b))  # compile + warm
-        out = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fn(b))  # scalar readback forces execution
-            out.append(time.perf_counter() - t0)
-        return out
+    def once(fn):
+        t0 = time.perf_counter()
+        float(fn(b))  # scalar readback forces execution
+        return time.perf_counter() - t0
 
     f_small = make_fn(r_small)
     f_big = make_fn(r_big)
-    # two interleaved rounds absorb slow link drift
-    t_small = times(f_small)
-    t_big = times(f_big)
-    t_small += times(f_small)
-    t_big += times(f_big)
-
-    def slope(red):
-        return max((red(t_big) - red(t_small)) / (r_big - r_small), 1e-9)
-
-    # Median-of-reps slope is the headline (reproducible run to run);
-    # the min-based slope (the best-case figure previous rounds quoted)
-    # is reported as spread detail, not as the headline.
-    per_batch = slope(lambda t: float(np.median(t)))
-    per_batch_best = slope(min)
+    once(f_small)
+    once(f_big)  # compile + warm both
+    # Paired small/big samples, slope per pair: the tunnel's host-side
+    # timing drifts over seconds, so differencing ADJACENT samples
+    # cancels it where a median-of-groups slope does not (observed
+    # group-median "slopes" beating their own per-rep best).  The
+    # headline is the median of the paired slopes — reproducible run
+    # to run; min/max report the spread.
+    slopes = []
+    for _ in range(reps):
+        ts = once(f_small)
+        tb = once(f_big)
+        slopes.append(max((tb - ts) / (r_big - r_small), 1e-9))
+    per_batch = float(np.median(slopes))
+    # "best" as the 25th percentile, not the min: a single drift pair
+    # can make the min slope absurd (near-zero).
+    per_batch_best = float(np.percentile(slopes, 25))
     return {
         "fps": BATCH / per_batch,
         "sec_per_batch": per_batch,
@@ -161,23 +160,27 @@ def bench_fused_kernel(r_small=2, r_big=18, reps=8):
     }
 
 
-def bench_opencv(batch):
+def bench_opencv(batch, rounds=3):
     import cv2
 
     cv2.setNumThreads(1)  # the reference is a single-core mobile library
     n = min(8, len(batch))
-    t0 = time.perf_counter()
-    for i in range(n):
-        img = batch[i][CROP_TOP : CROP_TOP + CROP_H, CROP_LEFT : CROP_LEFT + CROP_W]
-        img = cv2.resize(img, (OUT, OUT), interpolation=cv2.INTER_LINEAR)
-        img = img.astype(np.float32)
-        m, s = cv2.meanStdDev(img)
-        img = (img - m.ravel().astype(np.float32)) / (
-            s.ravel().astype(np.float32) + 1e-6
-        )
-        _ = np.ascontiguousarray(np.transpose(img, (2, 0, 1)))
-    dt = time.perf_counter() - t0
-    return n / dt, dt / n * 1e3
+    best = float("inf")
+    for _ in range(rounds):  # min-of-rounds rejects host-load noise
+        t0 = time.perf_counter()
+        for i in range(n):
+            img = batch[i][
+                CROP_TOP : CROP_TOP + CROP_H, CROP_LEFT : CROP_LEFT + CROP_W
+            ]
+            img = cv2.resize(img, (OUT, OUT), interpolation=cv2.INTER_LINEAR)
+            img = img.astype(np.float32)
+            m, s = cv2.meanStdDev(img)
+            img = (img - m.ravel().astype(np.float32)) / (
+                s.ravel().astype(np.float32) + 1e-6
+            )
+            _ = np.ascontiguousarray(np.transpose(img, (2, 0, 1)))
+        best = min(best, time.perf_counter() - t0)
+    return n / best, best / n * 1e3
 
 
 def main():

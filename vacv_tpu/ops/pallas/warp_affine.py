@@ -138,13 +138,20 @@ def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize):
         return None
     nb = -(-w_out // lb)
     wp = nb * lb
-    resident = c * _round_up(h_in, 8) * _round_up(w_in, 128) * itemsize \
-        <= _PLANE_BUDGET
+    plane = _round_up(h_in, 8) * _round_up(w_in, 128) * itemsize
+    if plane * c <= _PLANE_BUDGET:
+        resident, cs = True, c
+    elif plane <= _PLANE_BUDGET:
+        # One channel resident at a time (channel-grouped grid): keeps
+        # the VMEM-blockspec form, which — unlike the streaming mode's
+        # ANY-space source — also lowers under vmap (batched pipelines).
+        resident, cs = True, 1
+    else:
+        resident, cs = False, c
     if resident:
         h_pad = max(_round_up(h_in, 8), rh)
         w_pad = max(_round_up(w_in, 128), 256)
         rbh = 0
-        cs = c
     else:
         if h_in % 8 or w_in % 128 or w_in < 256:
             return None
