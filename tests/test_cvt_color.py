@@ -180,3 +180,41 @@ def test_gray_codes_match_cv2_f32(bgr_176x144, name):
     ref = cv2.cvtColor(src, getattr(cv2, name))
     out = vc.cvt_color(src, getattr(vc.ColorCode, name)).numpy()
     np.testing.assert_allclose(out.reshape(ref.shape), ref, atol=1e-3)
+
+
+# ---- YCrCb / YUV / HSV families (native; reference used OpenCV) --------
+
+_CS_CODES = ["COLOR_BGR2YCrCb", "COLOR_RGB2YCrCb", "COLOR_BGR2YUV",
+             "COLOR_RGB2YUV", "COLOR_BGR2HSV", "COLOR_RGB2HSV"]
+
+
+@pytest.mark.parametrize("name", _CS_CODES)
+def test_colorspace_forward_vs_cv2(bgr_176x144, name):
+    import cv2
+
+    ref = cv2.cvtColor(bgr_176x144, getattr(cv2, name))
+    out = vc.cvt_color(bgr_176x144, getattr(vc.ColorCode, name)).numpy()
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    if name.endswith("HSV"):
+        # hue wraps mod 180: 0 and 179 are adjacent
+        diff[..., 0] = np.minimum(diff[..., 0], 180 - diff[..., 0])
+    assert diff.max() <= 1, (name, diff.max())
+
+
+@pytest.mark.parametrize("fwd,inv", [
+    ("COLOR_BGR2YCrCb", "COLOR_YCrCb2BGR"),
+    ("COLOR_BGR2YUV", "COLOR_YUV2BGR"),
+    ("COLOR_BGR2HSV", "COLOR_HSV2BGR"),
+])
+def test_colorspace_inverse_vs_cv2(bgr_176x144, fwd, inv):
+    import cv2
+
+    mid = cv2.cvtColor(bgr_176x144, getattr(cv2, fwd))
+    ref = cv2.cvtColor(mid, getattr(cv2, inv))
+    out = vc.cvt_color(mid, getattr(vc.ColorCode, inv)).numpy()
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, (inv, diff.max())
+    if not fwd.endswith("HSV"):
+        # HSV2BGR: cv2's table-based math rounds differently on ~1/3
+        # of pixels (all within 1 LSB); the matrix codes are tighter.
+        assert (diff > 0).mean() < 0.02

@@ -97,6 +97,18 @@ class ColorCode(enum.IntEnum):
     COLOR_GRAY2RGBA = 9
     COLOR_BGRA2GRAY = 10
     COLOR_RGBA2GRAY = 11
+    COLOR_BGR2YCrCb = 36
+    COLOR_RGB2YCrCb = 37
+    COLOR_YCrCb2BGR = 38
+    COLOR_YCrCb2RGB = 39
+    COLOR_BGR2HSV = 40
+    COLOR_RGB2HSV = 41
+    COLOR_HSV2BGR = 54
+    COLOR_HSV2RGB = 55
+    COLOR_BGR2YUV = 82
+    COLOR_RGB2YUV = 83
+    COLOR_YUV2BGR = 84
+    COLOR_YUV2RGB = 85
     COLOR_YUV2RGB_NV12 = 90
     COLOR_YUV2BGR_NV12 = 91
     COLOR_YUV2RGB_NV21 = 92

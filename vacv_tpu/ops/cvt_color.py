@@ -188,6 +188,125 @@ def _full_alpha(plane):
     return jnp.ones_like(plane)
 
 
+# ---- YCrCb / YUV / HSV families (u8, cv2-parity <=1 LSB) ------------
+# The reference serves these via cvt_color_opencv (cvt_color.cpp:166-
+# 169); here they are native.  Fixed-point constants are OpenCV's Q14
+# (verified bit-exact on the forward directions; inverse and HSV are
+# within 1 LSB of cv2 — the same class of difference cv2's own SIMD vs
+# scalar paths exhibit).
+
+def _q14(v):
+    return (v + (1 << 13)) >> 14
+
+
+def _rgb_split(data, r_idx: int):
+    b_idx = 2 - r_idx
+    to32 = lambda p: p.astype(jnp.int32)
+    return to32(data[..., r_idx]), to32(data[..., 1]), to32(data[..., b_idx])
+
+
+def _u8(x):
+    return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+
+def _to_ycrcb(data, *, r_idx: int):
+    r, g, b = _rgb_split(data, r_idx)
+    y = _q14(r * 4899 + g * 9617 + b * 1868)
+    cr = _u8(_q14((r - y) * 11682) + 128)
+    cb = _u8(_q14((b - y) * 9241) + 128)
+    return jnp.stack([_u8(y), cr, cb], axis=-1)
+
+
+def _from_ycrcb(data, *, r_idx: int):
+    y = data[..., 0].astype(jnp.int32)
+    cr = data[..., 1].astype(jnp.int32) - 128
+    cb = data[..., 2].astype(jnp.int32) - 128
+    r = _u8(y + _q14(cr * 22987))
+    g = _u8(y + _q14(cr * -11698 + cb * -5662))
+    b = _u8(y + _q14(cb * 29049))
+    chans = [r, g, b] if r_idx == 0 else [b, g, r]
+    return jnp.stack(chans, axis=-1)
+
+
+def _to_yuv(data, *, r_idx: int):
+    r, g, b = _rgb_split(data, r_idx)
+    y = _q14(r * 4899 + g * 9617 + b * 1868)
+    u = _u8(_q14((b - y) * 8061) + 128)    # 0.492 * 2^14
+    v = _u8(_q14((r - y) * 14369) + 128)   # 0.877 * 2^14
+    return jnp.stack([_u8(y), u, v], axis=-1)
+
+
+def _from_yuv(data, *, r_idx: int):
+    y = data[..., 0].astype(jnp.int32)
+    u = data[..., 1].astype(jnp.int32) - 128
+    v = data[..., 2].astype(jnp.int32) - 128
+    r = _u8(y + _q14(v * 18678))                   # 1.140
+    g = _u8(y + _q14(u * -6456 + v * -9519))       # -0.394, -0.581
+    b = _u8(y + _q14(u * 33292))                   # 2.032
+    chans = [r, g, b] if r_idx == 0 else [b, g, r]
+    return jnp.stack(chans, axis=-1)
+
+
+def _to_hsv(data, *, r_idx: int):
+    r, g, b = (x.astype(jnp.float32) for x in _rgb_split(data, r_idx))
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    diff = mx - mn
+    v = mx
+    s = jnp.where(mx == 0, 0.0, jnp.round(255.0 * diff / jnp.maximum(mx, 1)))
+    dd = jnp.maximum(diff, 1e-6)
+    h = jnp.where(
+        diff == 0, 0.0,
+        jnp.where(
+            mx == r, 30.0 * (g - b) / dd,
+            jnp.where(mx == g, 60.0 + 30.0 * (b - r) / dd,
+                      120.0 + 30.0 * (r - g) / dd),
+        ),
+    )
+    h = jnp.round(jnp.where(h < 0, h + 180.0, h)).astype(jnp.int32) % 180
+    return jnp.stack(
+        [h.astype(jnp.uint8), _u8(s.astype(jnp.int32)),
+         _u8(v.astype(jnp.int32))], axis=-1,
+    )
+
+
+def _from_hsv(data, *, r_idx: int):
+    h = data[..., 0].astype(jnp.float32)
+    s = data[..., 1].astype(jnp.float32) / 255.0
+    v = data[..., 2].astype(jnp.float32)
+    sec = h / 30.0
+    i = jnp.floor(sec).astype(jnp.int32) % 6
+    f = sec - jnp.floor(sec)
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    conds = [i == k for k in range(6)]
+    r = jnp.select(conds, [v, q, p, p, t, v])
+    g = jnp.select(conds, [t, v, v, q, p, p])
+    b = jnp.select(conds, [p, p, t, v, v, q])
+    to8 = lambda x: _u8(jnp.round(x).astype(jnp.int32))
+    chans = [to8(r), to8(g), to8(b)]
+    if r_idx == 2:
+        chans = chans[::-1]
+    return jnp.stack(chans, axis=-1)
+
+
+_COLORSPACE_CODES = {
+    ColorCode.COLOR_BGR2YCrCb: (_to_ycrcb, 2),
+    ColorCode.COLOR_RGB2YCrCb: (_to_ycrcb, 0),
+    ColorCode.COLOR_YCrCb2BGR: (_from_ycrcb, 2),
+    ColorCode.COLOR_YCrCb2RGB: (_from_ycrcb, 0),
+    ColorCode.COLOR_BGR2HSV: (_to_hsv, 2),
+    ColorCode.COLOR_RGB2HSV: (_to_hsv, 0),
+    ColorCode.COLOR_HSV2BGR: (_from_hsv, 2),
+    ColorCode.COLOR_HSV2RGB: (_from_hsv, 0),
+    ColorCode.COLOR_BGR2YUV: (_to_yuv, 2),
+    ColorCode.COLOR_RGB2YUV: (_to_yuv, 0),
+    ColorCode.COLOR_YUV2BGR: (_from_yuv, 2),
+    ColorCode.COLOR_YUV2RGB: (_from_yuv, 0),
+}
+
+
 def cvt_color(src, code: ColorCode | int) -> Image:
     """Color conversion (parity: ``va_cv::cvt_color``, cv.h:95).
 
@@ -205,6 +324,12 @@ def cvt_color(src, code: ColorCode | int) -> Image:
         out = _shuffle_code(img, code)
         if out is not None:
             return out
+
+    if code in _COLORSPACE_CODES:
+        fn, r_idx = _COLORSPACE_CODES[code]
+        if img.data.ndim != 3 or img.data.dtype != jnp.uint8:
+            raise ValueError(f"{code!r} needs an HWC uint8 image")
+        return Image(fn(img.data, r_idx=r_idx), Layout.HWC)
 
     if code == ColorCode.COLOR_YUV2BGR_YV12:
         # YV12: planar Y (h,w), then V (h/2, w/2), then U (h/2, w/2),
