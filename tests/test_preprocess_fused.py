@@ -245,3 +245,26 @@ def test_fused_nv_rejects_unsupported():
     assert not nv_plan_supported(214, 284, 0, 284, 214, 224, 224)
     # crop below the chunk floor
     assert not nv_plan_supported(360, 640, 0, 640, 24, 64, 64)
+
+
+def test_fused_nv_bottom_crop_rejected_when_unreachable():
+    """When h*3/2 % 8 != 0 the last chroma rows are unreachable by an
+    8-aligned DMA window; crops touching them must be REJECTED at plan
+    time (a lying alignment hint would silently corrupt on device)."""
+    from vacv_tpu.ops.pallas.preprocess import nv_plan_supported
+
+    # h=1080: buffer rows 1620 (1620 % 8 = 4).  A full-height crop
+    # needs chroma to row 1619 — beyond the last aligned window.
+    assert not nv_plan_supported(1080, 1920, 0, 1920, 1080, 224, 224)
+    # The standard inset crop (rows 28..1064) stays reachable.
+    assert nv_plan_supported(1080, 1920, 64, 1792, 1036, 224, 224, top=28)
+    # h=720: buffer rows 1080 (mult of 8) — full-height crops plan.
+    assert nv_plan_supported(720, 1280, 0, 1280, 720, 224, 224)
+
+
+def test_fused_nv_runtime_top_rejected(rng):
+    from vacv_tpu.ops.pallas.preprocess import preprocess_fused_nv_batch
+
+    nv = _make_nv(rng, 1, 360, 640)
+    with pytest.raises(ValueError):
+        preprocess_fused_nv_batch(nv, None, (112, 112), top=np.int32(4))

@@ -169,3 +169,31 @@ def test_streaming_gate_geometry():
     # odd geometry falls back to the jnp gather
     assert not wp._stream_ok(minv, 1441, 2560, 2560, 4)
     assert not wp._stream_ok(minv, 1440, 2550, 2550, 4)
+
+
+@pytest.mark.parametrize("scale", [3.0, 6.0])
+def test_kernel_narrow_lane_blocks(bgr_640x360, scale):
+    """Large downscales pick narrower lane-blocks (lb=32/16) so the
+    tap span fits the fixed K=128 window — exercises the non-default
+    lb paths of the round-3 kernel."""
+    import jax.numpy as jnp
+
+    from vacv_tpu.ops.pallas import warp_affine as wp
+
+    m = np.array([[1.0 / scale, 0.02, 4.0], [-0.02, 1.0 / scale, 6.0]],
+                 np.float32)
+    minv = invert_affine(m)
+    lb = wp._pick_lb(minv)
+    assert lb in (16, 32), lb
+    planes = jnp.transpose(jnp.asarray(bgr_640x360), (2, 0, 1))
+    h_out, w_out = 96, 180
+    out_k = np.asarray(warp_affine_pallas(
+        planes, minv, h_out, w_out, u8=True, border_value=0.0))
+    ref = _warp_planes(
+        planes.astype(jnp.float32), minv, h_out, w_out, u8=True,
+        border_value=0.0, edge_mode="opencv",
+    )
+    ref = np.clip(np.floor(np.asarray(ref) + 1e-4), 0, 255).astype(np.uint8)
+    diff = np.abs(out_k.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.005
