@@ -95,3 +95,36 @@ def test_config5_warp_pipeline(bgr_640x360):
     )
     ref = np.transpose(ref, (2, 0, 1))
     assert abs(cosine_similarity(out, ref) - 1) < 2e-4
+
+
+def test_stream_map_matches_per_frame(rng):
+    """stream_map yields ordered, per-frame-identical results while
+    keeping several device computations in flight."""
+    import jax.numpy as jnp
+
+    import vacv_tpu as vc
+    from vacv_tpu.models import PreprocessConfig, Preprocessor
+    from vacv_tpu.models.serving import StreamExecutor, stream_map
+
+    cfg = PreprocessConfig(out_size=(64, 64))
+    pre = Preprocessor(cfg)
+    frames = [
+        jnp.asarray(rng.integers(0, 256, (96, 128, 3), dtype=np.uint8))
+        for _ in range(7)
+    ]
+    got = [np.asarray(o) for o in stream_map(pre.fn, frames, depth=3)]
+    want = [np.asarray(pre.fn(f)) for f in frames]
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    ex = StreamExecutor(pre.fn, depth=2)
+    outs = []
+    for f in frames:
+        r = ex.submit(f)
+        if r is not None:
+            outs.append(np.asarray(r))
+    outs.extend(np.asarray(r) for r in ex.drain())
+    assert len(outs) == len(frames)
+    for a, b in zip(outs, want):
+        np.testing.assert_allclose(a, b, atol=1e-5)
