@@ -34,7 +34,6 @@ def build_tests():
     import cv2
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     import vacv_tpu as vc
     from vacv_tpu.core.types import ColorCode, InterMode, Layout

@@ -28,7 +28,6 @@ def _bw(nbytes, sec):
 
 def run():
     import jax
-    import jax.numpy as jnp
 
     results = {"platform": jax.default_backend(),
                "device": str(jax.devices()[0])}

@@ -24,8 +24,7 @@ def run(device_counts=None):
     import jax.numpy as jnp
 
     import vacv_tpu as vc
-    from vacv_tpu.models import PreprocessConfig, Preprocessor
-    from vacv_tpu.parallel import make_mesh, put_sharded, shard_batched
+    from vacv_tpu.parallel import make_mesh, put_sharded
     from vacv_tpu.utils.perf import device_time
     from vacv_tpu.ops.crop import crop_dynamic
     from vacv_tpu.ops.normalize import normalize_jnp

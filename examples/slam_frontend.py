@@ -57,7 +57,6 @@ def main():
                     help="directory of JPEGs (e.g. /root/reference/res)")
     args = ap.parse_args()
 
-    import jax
     import vacv_tpu as vc
     from vacv_tpu.models import PreprocessConfig, Preprocessor
     from vacv_tpu.parallel import make_mesh, put_sharded

@@ -7,8 +7,6 @@ statistics use ``psum`` over the data axis.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
