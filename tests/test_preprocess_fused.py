@@ -268,3 +268,33 @@ def test_fused_nv_runtime_top_rejected(rng):
     nv = _make_nv(rng, 1, 360, 640)
     with pytest.raises(ValueError):
         preprocess_fused_nv_batch(nv, None, (112, 112), top=np.int32(4))
+
+
+def test_fused_odd_output_height(rng):
+    """Odd (non-multiple-of-8) output heights: the accumulator pads to
+    ceil8(oh) and the out-row windows stay 8-ALIGNED (round-3 review
+    finding: the oh - row_win clamp broke the alignment the kernel's
+    multiple_of hint promises — silent corruption on device)."""
+    from vacv_tpu.ops.pallas.preprocess import _plan
+
+    p = _plan(360, 640, 0, 640, 360, 100, 100)
+    assert p is not None
+    assert all(r % 8 == 0 for r in p.out_row0), p.out_row0
+    batch = make_batch(rng, n=2)
+    got = np.asarray(
+        preprocess_fused_batch(batch, None, (100, 100), precise=True)
+    )
+    want = jnp_pipeline(batch, None, (100, 100))
+    assert got.shape == want.shape == (2, 3, 100, 100)
+    assert abs(cosine_similarity(got, want) - 1) < 1e-6
+
+
+def test_fused_rejects_out_of_frame_crop(rng):
+    """Crops past the REAL frame edge must be rejected, not silently
+    resized over pad pixels (round-3 review finding)."""
+    assert not plan_supported(144, 176, 100, 100, 144, 64, 64)
+    with pytest.raises(ValueError):
+        preprocess_fused_batch(
+            make_batch(rng, n=1, h=144, w=176),
+            vc.VRect(100, 0, 200, 144), (64, 64),
+        )

@@ -112,8 +112,9 @@ class Preprocessor:
 
     # -- fused-kernel routing -------------------------------------
     def _fused_geometry(self, shape, dtype):
-        """(left, top, cw, ch, oh, ow) when the whole pipeline can run
-        as ONE fused Pallas kernel for this input shape, else None.
+        """(nv, left, top, cw, ch, oh, ow) when the whole pipeline can
+        run as ONE fused Pallas kernel for this input shape, else None
+        (``nv``: None for the BGR kernel, False/True for NV21/NV12).
 
         The fused kernel covers the reference's flagship chain
         (crop → bilinear resize → CHW f32 → normalize — BASELINE
@@ -223,10 +224,11 @@ class Preprocessor:
         """The raw traceable per-image function (for vmap/shard_map)."""
         return self._build()
 
-    @property
+    @functools.cached_property
     def batch_fn(self):
         """The raw traceable (N, ...) batch function — routes through
-        the fused kernel when the trace-time shape plan allows."""
+        the fused kernel when the trace-time shape plan allows.
+        Cached: a fresh closure per access would retrace under jit."""
         return self._batch_fn()
 
     def batched(self, mesh=None):

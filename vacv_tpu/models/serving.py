@@ -50,8 +50,8 @@ class StreamExecutor:
     push-style sources (e.g. a camera callback).
 
     ``submit`` dispatches asynchronously and returns the oldest
-    completed-or-in-flight result once more than ``depth`` are
-    pending, else None; ``drain`` yields the rest.
+    in-flight result once ``depth`` are pending (the same bound
+    :func:`stream_map` keeps), else None; ``drain`` yields the rest.
     """
 
     def __init__(self, fn: Callable, depth: int = 4):
@@ -63,7 +63,7 @@ class StreamExecutor:
 
     def submit(self, frame):
         self._q.append(self._fn(frame))
-        if len(self._q) > self._depth:
+        if len(self._q) >= self._depth:  # same discipline as stream_map
             return self._q.popleft()
         return None
 

@@ -180,8 +180,13 @@ def _vertical_plan(ch, oh, chunk):
     row_win = min(row_win, _ceil_to(oh, 8))
     out0 = []
     wy = np.zeros((9, n_chunks, row_win, chunk + 8), np.float32)
+    ohp = _ceil_to(oh, 8)  # accumulator rows (padded for odd oh)
     for j, (wyj, r0) in enumerate(slices):
-        r0 = min(r0, max(oh - row_win, 0))
+        # Clamp against the PADDED accumulator height: oh - row_win is
+        # not 8-aligned for odd oh, and the kernel's multiple_of hint
+        # on the window start must stay honest (a lying hint silently
+        # corrupts on device while interpret passes).
+        r0 = min(r0, max(ohp - row_win, 0))
         r1 = min(r0 + row_win, oh)
         out0.append(r0)
         if wyj[:r0].any() or wyj[r1:].any():
@@ -372,7 +377,7 @@ def _kernel(
     def _():
         for b in range(plan.n_xblocks):  # static unroll
             c0 = plan.xstarts[b]
-            a = acc[:, c0 : c0 + plan.xband]
+            a = acc[:oh, c0 : c0 + plan.xband]
             ahi = a.astype(jnp.bfloat16)
             out = _dot(ahi, wx_ref[0, b])
             if precise:
@@ -495,7 +500,9 @@ def _call(batch, top, wy_arr, wx_arr, starts_arr, out0_arr, *, left, cw,
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((oh, w * 3), jnp.float32),
+            # row_win windows are 8-row aligned and may reach past a
+            # non-multiple-of-8 oh — pad the accumulator rows.
+            pltpu.VMEM((_ceil_to(oh, 8), w * 3), jnp.float32),
             pltpu.VMEM((oh, plan.op3), jnp.float32),
             pltpu.VMEM((plan.nbuf, rows, w * 3), jnp.uint8),
             pltpu.SemaphoreType.DMA((plan.nbuf,)),
@@ -528,12 +535,17 @@ def _pad_geometry(h, w):
     return _ceil_to(h, 8), w + dw
 
 
-def plan_supported(h, w, left, cw, ch, oh, ow) -> bool:
+def plan_supported(h, w, left, cw, ch, oh, ow,
+                   precise: bool = False) -> bool:
     """Can the fused kernel run this config?  (Odd geometries plan
-    with the wrapper's pad applied, mirroring preprocess_fused_batch.)
+    with the wrapper's pad applied, mirroring preprocess_fused_batch;
+    pass ``precise`` when the caller will run the Dekker-exact path on
+    device — it tightens the VMEM budget.)
     """
+    if left < 0 or cw <= 0 or ch <= 0 or left + cw > w or ch > h:
+        return False  # crop must sit inside the REAL frame, not the pad
     hp, wp = _pad_geometry(h, w)
-    return _plan(hp, wp, left, cw, ch, oh, ow) is not None
+    return _plan(hp, wp, left, cw, ch, oh, ow, precise) is not None
 
 
 def _static_stats(v):
@@ -589,6 +601,11 @@ def preprocess_fused_batch(
         cw = int(crop_rect.width())
         ch = int(crop_rect.height())
     ow, oh = int(out_size[0]), int(out_size[1])
+    if left < 0 or cw <= 0 or ch <= 0 or left + cw > w or ch > h:
+        # Bounds-check against the REAL frame before padding: the jnp
+        # fallback clamps such crops, so accepting them here would
+        # silently resize black pad pixels instead.
+        raise ValueError("crop rect outside the frame")
     hp, wp = _pad_geometry(h, w)
     if (hp, wp) != (h, w):
         # Odd geometries (the reference's 176x144 / 284x214 assets)
@@ -790,7 +807,6 @@ def _kernel_nv(
     step = f * nj + j
     rows = plan.chunk_rows + 8
     rows_c = plan.rows_c
-    hbuf = src_hbm.shape[1]
 
     def base_of(jj):
         row0 = top_ref[0] + starts_ref[jj]
@@ -894,7 +910,7 @@ def _kernel_nv(
         for c in range(3):
             for b in range(plan.n_xblocks):
                 c0 = plan.xstarts[b]
-                a = acc[c, :, c0 : c0 + plan.xband]
+                a = acc[c, :oh, c0 : c0 + plan.xband]
                 ahi = a.astype(jnp.bfloat16)
                 out = _dot(ahi, wx_ref[0, b])
                 if precise:
@@ -983,7 +999,7 @@ def _call_nv(batch, top, wy_arr, wx_arr, starts_arr, out0_arr,
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, oh, w), jnp.float32),
+            pltpu.VMEM((3, _ceil_to(oh, 8), w), jnp.float32),
             pltpu.VMEM((plan.nbuf, rows, w), jnp.uint8),
             pltpu.VMEM((plan.nbuf, plan.rows_c, w), jnp.uint8),
             pltpu.SemaphoreType.DMA((plan.nbuf,)),
@@ -1014,11 +1030,16 @@ def _nv_pad_w(w):
     return _ceil_to(w, _LANE)
 
 
-def nv_plan_supported(h, w, left, cw, ch, oh, ow, top=0) -> bool:
+def nv_plan_supported(h, w, left, cw, ch, oh, ow, top=0,
+                      precise: bool = False) -> bool:
     """Can the NV fused kernel run this config?  h/w are Y-plane dims."""
     if h % 2 or w % 2:
         return False
-    return _plan_nv(h, _nv_pad_w(w), top, left, cw, ch, oh, ow) is not None
+    if left < 0 or cw <= 0 or ch <= 0 or left + cw > w or ch > h:
+        return False  # crop must sit inside the REAL frame, not the pad
+    return _plan_nv(
+        h, _nv_pad_w(w), top, left, cw, ch, oh, ow, precise
+    ) is not None
 
 
 def preprocess_fused_nv_batch(
@@ -1057,6 +1078,8 @@ def preprocess_fused_nv_batch(
         cw = int(crop_rect.width())
         ch = int(crop_rect.height())
     ow, oh = int(out_size[0]), int(out_size[1])
+    if left < 0 or cw <= 0 or ch <= 0 or left + cw > w or ch > h:
+        raise ValueError("crop rect outside the frame")
     if top is not None:
         # The chroma DMA windows are resolved at plan time (see
         # _plan_nv), so the NV kernel supports static crop tops only.

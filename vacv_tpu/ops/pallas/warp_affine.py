@@ -112,19 +112,13 @@ def _row_band_height(minv, t, wp, rh, h_in):
 
 
 def _stream_ok(minv, h_in, w_in, w_out, itemsize):
-    """Is the streaming row-band mode available for this config?"""
-    if h_in % 8 or w_in % 128 or w_in < 256:
-        return False
-    t = _T
-    lb = _pick_lb(minv, t)
-    if lb is None:
-        return False
-    rh = _rh(minv, t, lb)
-    if rh > _RH_CAP:
-        return False
-    wp = -(-w_out // lb) * lb
-    rbh = _row_band_height(minv, t, wp, rh, h_in)
-    return 2 * rbh * w_in * itemsize <= _BAND_BUDGET
+    """Is the streaming row-band mode available for this config?
+    (Delegates to _plan so the gate can never diverge from it.)"""
+    plan = _plan(minv, 3, h_in, w_in, h_in, w_out, itemsize)
+    return plan is not None and (
+        plan["rbh"] > 0
+        or h_in % 8 == 0 and w_in % 128 == 0 and w_in >= 256
+    )
 
 
 def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize):
