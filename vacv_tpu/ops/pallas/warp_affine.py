@@ -121,8 +121,31 @@ def _stream_ok(minv, h_in, w_in, w_out, itemsize):
     )
 
 
-def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize):
-    """Static kernel plan, or None if unsupported."""
+def _stream_plan(minv, t, lb, rh, wp, c, h_in, w_in, itemsize):
+    """(cs, rbh) for the streaming mode, or None if its gates fail."""
+    if h_in % 8 or w_in % 128 or w_in < 256:
+        return None
+    rbh = _row_band_height(minv, t, wp, rh, h_in)
+    if 2 * c * rbh * w_in * itemsize <= _BAND_BUDGET:
+        return c, rbh
+    if 2 * rbh * w_in * itemsize <= _BAND_BUDGET:
+        return 1, rbh
+    return None
+
+
+def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize,
+          allow_stream=True):
+    """Static kernel plan, or None if unsupported.
+
+    Mode choice for planes that don't fit whole:
+    * plain calls prefer STREAMING — its small VMEM footprint lets
+      successive independent per-frame launches overlap (measured
+      ~1.5x throughput over the resident form at 1440p u8, where a
+      resident plane hogs enough VMEM to serialize launches);
+    * under vmap (``allow_stream=False``) the ANY-memory-space source
+      of the streaming mode cannot lower, so a one-channel-resident
+      mode (VMEM blockspecs, channel-grouped grid) serves instead.
+    """
     t = _T
     lb = _pick_lb(minv, t)
     if lb is None:
@@ -133,40 +156,54 @@ def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize):
     nb = -(-w_out // lb)
     wp = nb * lb
     plane = _round_up(h_in, 8) * _round_up(w_in, 128) * itemsize
+    cs = rbh = None
     if plane * c <= _PLANE_BUDGET:
-        resident, cs = True, c
-    elif plane <= _PLANE_BUDGET:
-        # One channel resident at a time (channel-grouped grid): keeps
-        # the VMEM-blockspec form, which — unlike the streaming mode's
-        # ANY-space source — also lowers under vmap (batched pipelines).
-        resident, cs = True, 1
+        cs, rbh = c, 0
     else:
-        resident, cs = False, c
-    if resident:
+        if allow_stream:
+            sp = _stream_plan(minv, t, lb, rh, wp, c, h_in, w_in,
+                              itemsize)
+            if sp is not None:
+                cs, rbh = sp
+        if cs is None and plane <= _PLANE_BUDGET:
+            cs, rbh = 1, 0
+        if cs is None and not allow_stream:
+            # Last resort off-vmap coverage parity: a non-batched
+            # caller would stream; a vmapped one cannot, so reject.
+            return None
+        if cs is None:
+            return None
+    if rbh == 0:
         h_pad = max(_round_up(h_in, 8), rh)
         w_pad = max(_round_up(w_in, 128), 256)
-        rbh = 0
     else:
-        if h_in % 8 or w_in % 128 or w_in < 256:
-            return None
         h_pad, w_pad = h_in, w_in
-        rbh = _row_band_height(minv, t, wp, rh, h_in)
-        cs = c
-        if 2 * cs * rbh * w_in * itemsize > _BAND_BUDGET:
-            cs = 1
-            if 2 * rbh * w_in * itemsize > _BAND_BUDGET:
-                return None
     return dict(t=t, lb=lb, rh=rh, nb=nb, wp=wp, cs=cs,
                 h_pad=h_pad, w_pad=w_pad, rbh=rbh)
 
 
 def warp_supported(minv, h_in, w_in, itemsize: int = 1,
                    w_out: int | None = None, h_out: int | None = None,
-                   c: int = 3) -> bool:
-    """Can the pallas kernel handle this warp config?"""
+                   c: int = 3, allow_stream: bool = True) -> bool:
+    """Can the pallas kernel handle this warp config?  Pass
+    ``allow_stream=False`` when the call will run under vmap (use
+    :func:`under_vmap` on the operand)."""
     return _plan(
-        minv, c, h_in, w_in, h_out or h_in, w_out or w_in, itemsize
+        minv, c, h_in, w_in, h_out or h_in, w_out or w_in, itemsize,
+        allow_stream,
     ) is not None
+
+
+def under_vmap(x) -> bool:
+    """Is ``x`` a vmap batch tracer?  (The streaming mode's ANY-space
+    source cannot lower under vmap; dispatchers use this to pick the
+    vmap-safe plan.)"""
+    try:
+        from jax._src.interpreters import batching
+
+        return isinstance(x, batching.BatchTracer)
+    except Exception:  # private API moved — assume the safe answer
+        return True
 
 
 def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
@@ -358,13 +395,14 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "h_out", "w_out", "u8", "bv", "interpret"),
+    static_argnames=("m", "h_out", "w_out", "u8", "bv", "interpret",
+                     "allow_stream"),
 )
-def _call(planes, *, m, h_out, w_out, u8, bv, interpret):
+def _call(planes, *, m, h_out, w_out, u8, bv, interpret, allow_stream):
     c, h_in, w_in = planes.shape
     itemsize = 1 if u8 else 4
     plan = _plan(np.asarray(m).reshape(2, 3), c, h_in, w_in, h_out,
-                 w_out, itemsize)
+                 w_out, itemsize, allow_stream)
     t, lb, rh = plan["t"], plan["lb"], plan["rh"]
     nb, wp, cs = plan["nb"], plan["wp"], plan["cs"]
     h_pad, w_pad, rbh = plan["h_pad"], plan["w_pad"], plan["rbh"]
@@ -423,4 +461,5 @@ def warp_affine_pallas(planes, minv, h_out: int, w_out: int, *, u8: bool,
     return _call(
         planes, m=m, h_out=h_out, w_out=w_out, u8=u8,
         bv=float(border_value), interpret=config.pallas_interpret(),
+        allow_stream=not under_vmap(planes),
     )

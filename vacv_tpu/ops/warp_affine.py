@@ -286,11 +286,14 @@ def warp_affine(
         and data.dtype in (jnp.uint8, jnp.float32)
     ):
         from .. import config as vconfig
-        from .pallas.warp_affine import warp_affine_pallas, warp_supported
+        from .pallas.warp_affine import (
+            under_vmap, warp_affine_pallas, warp_supported,
+        )
 
         if vconfig.use_pallas() and warp_supported(
             minv, planes.shape[-2], planes.shape[-1], data.dtype.itemsize,
             w_out=dsize.w, h_out=dsize.h, c=planes.shape[0],
+            allow_stream=not under_vmap(planes),
         ):
             use_kernel = True
 
