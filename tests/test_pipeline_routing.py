@@ -144,7 +144,7 @@ def test_nv_pipeline_routes_through_fused(rng):
     with config.backend("pallas"):
         pre = Preprocessor(cfg)
         geom = pre._fused_geometry(nv.shape, nv.dtype)
-        assert geom is not None and geom[0] is False
+        assert geom is not None and geom[0] == (False, False)
         before = config.kernel_count("preprocess_fused_nv")
         out = np.asarray(pre(nv))
         assert config.kernel_count("preprocess_fused_nv") > before
@@ -152,5 +152,33 @@ def test_nv_pipeline_routes_through_fused(rng):
         want = np.asarray(Preprocessor(cfg)(nv))
     from vacv_tpu.utils.compare import cosine_similarity
 
+    assert out.shape == want.shape == (3, 112, 112)
+    assert abs(cosine_similarity(out, want) - 1) < 1e-4
+
+
+def test_nv_rgb_pipeline_routes_through_fused(rng):
+    """RGB-output NV codes also route through the fused kernel (plane
+    write order reversed in-kernel)."""
+    from vacv_tpu.utils.io import bgr2nv21_numpy
+    from vacv_tpu.utils.compare import cosine_similarity
+
+    h, w = 360, 640
+    bgr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    nv = bgr2nv21_numpy(bgr).reshape(h * 3 // 2, w)
+    cfg = PreprocessConfig(
+        color_code=vc.ColorCode.COLOR_YUV2RGB_NV21,
+        # inset crop: a full-height crop would touch the chroma rows a
+        # 540-row stacked buffer cannot DMA (540 % 8 != 0) — correctly
+        # rejected by the planner
+        crop_rect=vc.VRect(16, 8, 16 + 600, 8 + 336),
+        out_size=(112, 112),
+    )
+    with config.backend("pallas"):
+        pre = Preprocessor(cfg)
+        geom = pre._fused_geometry(nv.shape, nv.dtype)
+        assert geom is not None and geom[0] == (False, True)
+        out = np.asarray(pre(nv))
+    with config.backend("jnp"):
+        want = np.asarray(Preprocessor(cfg)(nv))
     assert out.shape == want.shape == (3, 112, 112)
     assert abs(cosine_similarity(out, want) - 1) < 1e-4

@@ -114,7 +114,8 @@ class Preprocessor:
     def _fused_geometry(self, shape, dtype):
         """(nv, left, top, cw, ch, oh, ow) when the whole pipeline can
         run as ONE fused Pallas kernel for this input shape, else None
-        (``nv``: None for the BGR kernel, False/True for NV21/NV12).
+        (``nv``: None for the BGR kernel, else an (is_nv12, to_rgb)
+        pair for the NV kernel).
 
         The fused kernel covers the reference's flagship chain
         (crop → bilinear resize → CHW f32 → normalize — BASELINE
@@ -130,14 +131,16 @@ class Preprocessor:
             or cfg.out_layout != Layout.CHW
         ):
             return None
-        nv = None  # None = BGR path; False = NV21; True = NV12
+        nv = None  # None = BGR input; else (is_nv12, to_rgb)
         if cfg.color_code is not None:
             code = ColorCode(cfg.color_code)
-            if code == ColorCode.COLOR_YUV2BGR_NV21:
-                nv = False
-            elif code == ColorCode.COLOR_YUV2BGR_NV12:
-                nv = True
-            else:
+            nv = {
+                ColorCode.COLOR_YUV2BGR_NV21: (False, False),
+                ColorCode.COLOR_YUV2BGR_NV12: (True, False),
+                ColorCode.COLOR_YUV2RGB_NV21: (False, True),
+                ColorCode.COLOR_YUV2RGB_NV12: (True, True),
+            }.get(code)
+            if nv is None:
                 return None
             if len(shape) != 2 or dtype != jnp.uint8 or shape[0] % 3:
                 return None
@@ -183,8 +186,10 @@ class Preprocessor:
         if nv is not None:
             # Camera chain: decode → crop → resize → normalize in ONE
             # HBM pass (cvt_color.cpp:151-156 + resize_normalize.cpp).
+            is_nv12, to_rgb = nv
             return preprocess_fused_nv_batch(
-                batch, rect, (ow, oh), is_nv12=nv, **kwargs
+                batch, rect, (ow, oh), is_nv12=is_nv12, to_rgb=to_rgb,
+                **kwargs
             )
         return preprocess_fused_batch(batch, rect, (ow, oh), **kwargs)
 

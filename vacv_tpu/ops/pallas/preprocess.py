@@ -799,7 +799,8 @@ def _kernel_nv(
     # scratch
     acc, ybuf, cbuf, ysem, csem,
     *, plan: _NvPlan, h_y: int, oh: int, ow: int, is_nv12: bool,
-    trunc_u8: bool, precise: bool, do_norm, mean_s, std_s,
+    to_rgb: bool, trunc_u8: bool, precise: bool, do_norm, mean_s,
+    std_s,
 ):
     nj = plan.n_chunks
     f = pl.program_id(0)
@@ -896,9 +897,11 @@ def _kernel_nv(
     )
 
     # ---- vertical banded pass, per channel ------------------------
+    # Accumulator channel order is the OUTPUT order: RGB configs
+    # (COLOR_YUV2RGB_*) just reverse the plane index here.
     r0 = pl.multiple_of(out0_ref[j], 8)
     for c in range(3):
-        pc = planes[c].astype(jnp.bfloat16)
+        pc = planes[2 - c if to_rgb else c].astype(jnp.bfloat16)
         part = _dot(wy_ref[0, 0, 0], pc)
         if precise:
             part += _dot(wy_ref[1, 0, 0], pc)
@@ -955,20 +958,21 @@ def _plan_nv_tables(key, precise: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("top", "left", "cw", "ch", "oh", "ow", "is_nv12",
-                     "trunc_u8", "precise", "interpret", "do_norm",
-                     "mean_s", "std_s"),
+                     "to_rgb", "trunc_u8", "precise", "interpret",
+                     "do_norm", "mean_s", "std_s"),
 )
 def _call_nv(batch, top, wy_arr, wx_arr, starts_arr, out0_arr,
-             cstarts_arr, *, left, cw, ch, oh, ow, is_nv12, trunc_u8,
-             precise, interpret, do_norm=True, mean_s=None, std_s=None):
+             cstarts_arr, *, left, cw, ch, oh, ow, is_nv12, to_rgb,
+             trunc_u8, precise, interpret, do_norm=True, mean_s=None,
+             std_s=None):
     n, hbuf, w = batch.shape
     h_y = hbuf * 2 // 3
     plan = _plan_nv(h_y, w, top, left, cw, ch, oh, ow,
                     precise and not interpret)
     kern = functools.partial(
         _kernel_nv, plan=plan, h_y=h_y, oh=oh, ow=ow, is_nv12=is_nv12,
-        trunc_u8=trunc_u8, precise=precise, do_norm=do_norm,
-        mean_s=mean_s, std_s=std_s,
+        to_rgb=to_rgb, trunc_u8=trunc_u8, precise=precise,
+        do_norm=do_norm, mean_s=mean_s, std_s=std_s,
     )
     rows = plan.chunk_rows + 8
 
@@ -1048,6 +1052,7 @@ def preprocess_fused_nv_batch(
     out_size=(224, 224),
     *,
     is_nv12=False,
+    to_rgb=False,
     top=None,
     mean=None,
     stddev=None,
@@ -1062,7 +1067,7 @@ def preprocess_fused_nv_batch(
     Matches the reference camera chain decode-then-preprocess
     (cvt_color.cpp:151-156 → resize_normalize.cpp:15-107) bit-for-bit
     in its Q7/Q11 integer semantics, in ONE pass over HBM.  Returns
-    (N, 3, oh, ow) f32 (B, G, R planes).  Raises ValueError for
+    (N, 3, oh, ow) f32 (B, G, R planes; R, G, B with ``to_rgb``).  Raises ValueError for
     unsupported configs (callers fall back to decode + jnp chain).
     """
     if batch.dtype != jnp.uint8 or batch.ndim != 3:
@@ -1099,7 +1104,7 @@ def preprocess_fused_nv_batch(
         top0,
         wy_arr, wx_arr, starts_arr, out0_arr, cstarts_arr,
         left=left, cw=cw, ch=ch, oh=oh, ow=ow, is_nv12=is_nv12,
-        trunc_u8=trunc_u8, precise=precise,
+        to_rgb=to_rgb, trunc_u8=trunc_u8, precise=precise,
         do_norm=bool(normalize),
         mean_s=_static_stats(mean), std_s=_static_stats(stddev),
         interpret=config.pallas_interpret(),
