@@ -102,3 +102,42 @@ def test_fuzz_warp_geometries():
         assert diff.max() <= 1, (h, w, m.tolist(), (oh, ow), diff.max())
         assert (diff > 0).mean() < 0.01
     assert ran >= 5
+
+
+def test_fuzz_nv_fused_geometries():
+    from vacv_tpu.core.types import ColorCode
+    from vacv_tpu.ops.pallas.preprocess import (
+        nv_plan_supported, preprocess_fused_nv_batch,
+    )
+    from vacv_tpu.utils.io import bgr2nv21_numpy
+
+    rng = np.random.default_rng(777)
+    ran = 0
+    for _ in range(60):
+        h = int(rng.integers(6, 45)) * 8      # NV gate: h % 8 == 0
+        w = int(rng.integers(24, 250)) * 2    # even width
+        if rng.random() < 0.5:
+            rect, left, top, cw, ch = None, 0, 0, w, h
+        else:
+            left = int(rng.integers(0, w // 4))
+            top = int(rng.integers(0, h // 4))
+            cw = int(rng.integers(max(2, w // 2), w - left))
+            ch = int(rng.integers(max(2, h // 2), h - top))
+            rect = vc.VRect(left, top, left + cw, top + ch)
+        ow = int(rng.integers(16, 160))
+        oh = int(rng.integers(16, 160))
+        if not nv_plan_supported(h, w, left, cw, ch, oh, ow, top):
+            continue
+        if ran >= 5:
+            break
+        ran += 1
+        bgr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        nv = bgr2nv21_numpy(bgr).reshape(h * 3 // 2, w)
+        got = np.asarray(preprocess_fused_nv_batch(
+            nv[None], rect, (ow, oh), precise=True
+        ))[0]
+        dec = vc.cvt_color(nv, ColorCode.COLOR_YUV2BGR_NV21)
+        want = _jnp_chain(dec.data, rect, (ow, oh))
+        c = cosine_similarity(got, want)
+        assert abs(c - 1) < 1e-5, (h, w, rect, (ow, oh), c)
+    assert ran >= 3
