@@ -241,6 +241,55 @@ def build_tests(sizes):
         tests.append(TestFuncInfo(
             "gray2bgr_resize_1280x720", _pair(cv_gr, gr_step, (grayj,)),
         ))
+
+    # ---- dtype / layout / match_template (the rest of the reference's
+    # test registry: test_change_dtype.cpp, test_change_layout.cpp; the
+    # reference served match_template via its OpenCV wrapper) --------
+    if (1080, 1920) in sizes:
+        src = _img(1080, 1920, seed=7)
+        srcj = jax.device_put(jnp.asarray(src))
+
+        def dt_step(i, b):
+            win = lax.dynamic_slice(b, (i % 2, 0, 0), (1078, 1920, 3))
+            return vc.Image(win, Layout.HWC).change_dtype(jnp.float32).data
+
+        tests.append(TestFuncInfo(
+            "change_dtype_1920x1080",
+            _pair(lambda s=src: s[:1078].astype(np.float32),
+                  dt_step, (srcj,)),
+        ))
+
+        def lo_step(i, b):
+            win = lax.dynamic_slice(b, (i % 2, 0, 0), (1078, 1920, 3))
+            return vc.Image(win, Layout.HWC).change_layout(Layout.CHW).data
+
+        tests.append(TestFuncInfo(
+            "change_layout_1920x1080",
+            _pair(lambda s=src: np.transpose(s[:1078], (2, 0, 1)).copy(),
+                  lo_step, (srcj,)),
+        ))
+
+    if (360, 640) in sizes:
+        img6 = _img(360, 640, seed=8).astype(np.float32)
+        tmpl = img6[100:132, 200:232].copy()
+        img6j = jax.device_put(jnp.asarray(img6[..., 0]))
+        tmplj = jax.device_put(jnp.asarray(tmpl[..., 0]))
+
+        def mt_step(i, b, t):
+            win = lax.dynamic_slice(b, (i % 2, 0), (358, 640))
+            return vc.match_template(
+                win, t, vc.MatchMode.TM_CCOEFF_NORMED
+            ).data
+
+        def cv_mt():
+            return cv2.matchTemplate(
+                img6[:358, :, 0], tmpl[..., 0], cv2.TM_CCOEFF_NORMED
+            )
+
+        tests.append(TestFuncInfo(
+            "match_template_ccoeff_640x360",
+            _pair(cv_mt, mt_step, (img6j, tmplj)),
+        ))
     return tests
 
 
