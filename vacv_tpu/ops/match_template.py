@@ -46,8 +46,6 @@ def _corr(x, k):
     th, tw = k.shape[2], k.shape[3]
     h_out, w_out = h - th + 1, w - tw + 1
     k2 = jnp.transpose(k[0], (2, 0, 1)).reshape(tw, c * th)
-    k_hi = k2.astype(jnp.bfloat16)
-    k_lo = (k2 - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     # Chunk rows so the unfold stays ~<=96 MB.
     chunk = max(8, (96 * 2**20 // max(1, c * th * w * 4)) // 8 * 8)
@@ -61,18 +59,16 @@ def _corr(x, k):
                 for dy in range(th)
             ]
         ).reshape(c * th, rows * w)
-        u_hi = u.astype(jnp.bfloat16)
-        u_lo = (u - u_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-        def dot(a, b):
-            return lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        v = (
-            dot(k_hi, u_hi) + dot(k_hi, u_lo)
-            + dot(k_lo, u_hi) + dot(k_lo, u_lo)
+        # HIGHEST precision: true f32 dot semantics.  (A manual Dekker
+        # hi/lo bf16 split measured 0.2% error HERE on device — for
+        # these skinny M=K=tw shapes XLA's bf16 dot does not accumulate
+        # in f32 the way a Mosaic-kernel MXU dot does.)  The K
+        # dimension is tiny (C*th), so the multi-pass cost is
+        # negligible against the unfold traffic.
+        v = lax.dot_general(
+            k2, u, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         ).reshape(tw, rows, w)
         pieces.append(
             sum(v[dx, :, dx : dx + w_out] for dx in range(tw))
