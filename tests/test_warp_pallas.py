@@ -171,6 +171,32 @@ def test_streaming_gate_geometry():
     assert not wp._stream_ok(minv, 1440, 2550, 2550, 4)
 
 
+def test_short_wide_plane_over_budget(rng):
+    """Regression (round-3 advisor): a short, wide f32 plane over the
+    resident budget used to pass ``warp_supported`` but crash at trace
+    time — the streamed band (rbh=h_in) was shorter than the per-block
+    vertical window rh.  Streaming must reject (rbh < rh) and the plan
+    fall to the padded one-channel-resident mode."""
+    import jax.numpy as jnp
+
+    from vacv_tpu.ops.pallas import warp_affine as wp
+
+    h, w = 112, 6272
+    minv = np.array([[0.0, 1.2, 4.0], [0.82, 0.0, 2.0]], np.float32)
+    assert wp._stream_plan(minv, wp._T, wp._pick_lb(minv),
+                           wp._rh(minv, wp._T, wp._pick_lb(minv)),
+                           w, 3, h, w, 4) is None
+    plan = wp._plan(minv, 3, h, w, h, 256, 4)
+    if plan is not None:  # resident fallback must actually trace+run
+        src = rng.random((3, h, w), dtype=np.float32)
+        out = warp_affine_pallas(jnp.asarray(src), minv, 64, 256,
+                                 u8=False, border_value=0.0)
+        ref = _warp_planes(jnp.asarray(src), minv, 64, 256, u8=False,
+                           border_value=0.0, edge_mode="opencv")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-3)
+
+
 @pytest.mark.parametrize("scale", [3.0, 6.0])
 def test_kernel_narrow_lane_blocks(bgr_640x360, scale):
     """Large downscales pick narrower lane-blocks (lb=32/16) so the

@@ -83,7 +83,7 @@ COLOR_GRAY2BGRA = ColorCode.COLOR_GRAY2BGRA
 HWC = Layout.HWC
 CHW = Layout.CHW
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "Image", "as_image", "as_array", "config",

@@ -39,8 +39,10 @@ def _corr(x, k):
     a shared vertical unfold ``U[(c,dy), y, xx] = x[c, y+dy, xx]``,
     ONE ``(tw, C*th) @ (C*th, rows*W)`` matmul producing every
     template-column's vertical correlation, and ``tw`` shifted adds.
-    Operands are Dekker-split (hi/lo bf16 pairs — exact to f32
-    accumulation), and y is chunked to bound the unfold buffer.
+    The dot runs on f32 operands at ``Precision.HIGHEST`` (true f32
+    accumulation — XLA's skinny bf16 dots are NOT f32-accumulated on
+    TPU, which broke a manual hi/lo bf16 split here), and y is chunked
+    to bound the unfold buffer.
     """
     _, c, h, w = x.shape
     th, tw = k.shape[2], k.shape[3]

@@ -23,10 +23,13 @@ selection dots — 0.678 ms at 1080p u8):
   F on a one-column-rolled band — F1 and its iota-compare build are
   gone (the window's +3 margin guarantees the wrap column of the roll
   is never selected).
-* **Exact f32 via Dekker split**: the f32 band is split hi/lo into two
-  bf16 operands (band == hi + lo exactly); two bf16 selection dots
-  replace the ~6-pass HIGHEST-precision f32 dot.  For u8, band values
-  are 8-bit integers — exact in one bf16 pass.
+* **f32 via a two-term bf16 split**: the f32 band is split hi/lo into
+  two bf16 operands; two bf16 selection dots replace the ~6-pass
+  HIGHEST-precision f32 dot.  Two bf16 terms carry ~16 of f32's 24
+  mantissa bits, so general f32 inputs see ~2⁻¹⁶-relative error on
+  the selected values (NOT exact); u8-derived and f16-derived values
+  (≤11 significant bits) ARE captured exactly, and the u8 path's
+  integer band values are exact in one bf16 pass.
 * **Per-row vertical windows**: rh spans only the lane-block's taps
   (``|m3|·(lb-1) + |m4|·(t-1)``), not a 16-row tile's — about half the
   round-2 dot M-height at the benchmark matrices.
@@ -126,6 +129,12 @@ def _stream_plan(minv, t, lb, rh, wp, c, h_in, w_in, itemsize):
     if h_in % 8 or w_in % 128 or w_in < 256:
         return None
     rbh = _row_band_height(minv, t, wp, rh, h_in)
+    if rbh < rh:
+        # Short planes (h_in < rh): the per-block vertical window would
+        # overrun the streamed band (`pl.ds(off, rh)` of an rbh-row
+        # buffer).  The resident mode pads to max(h, rh); streaming
+        # cannot — reject so the caller routes there (or to jnp).
+        return None
     if 2 * c * rbh * w_in * itemsize <= _BAND_BUDGET:
         return c, rbh
     if 2 * rbh * w_in * itemsize <= _BAND_BUDGET:
@@ -355,8 +364,9 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
             p1 = jnp.dot(banda.astype(fdt), G,
                          preferred_element_type=jnp.float32)
         else:
-            # Dekker split: band == hi + lo exactly, each bf16; two
-            # bf16 passes with a 0/1 field are an exact f32 selection.
+            # Two-term bf16 split (~16 of 24 mantissa bits — exact for
+            # u8/f16-derived values, ~2^-16 relative otherwise; see
+            # module docstring).  Two bf16 passes with a 0/1 field.
             bmh = bandm.astype(fdt)
             bml = (bandm - bmh.astype(jnp.float32)).astype(fdt)
             bah = banda.astype(fdt)
