@@ -19,10 +19,12 @@ selection dots — 0.678 ms at 1080p u8):
   ``|m0|·(lb-1) + |m1|·(t-1) + 3`` fits 126 columns — large downscales
   use narrower blocks instead of a wider (2× more expensive) window.
   Window alignment is a 256-wide aligned slice + dynamic lane-roll.
-* **Second tap via band roll**: ``p1`` reuses the SAME selection field
-  F on a one-column-rolled band — F1 and its iota-compare build are
-  gone (the window's +3 margin guarantees the wrap column of the roll
-  is never selected).
+* **Both taps from ONE rolled band** (round 4): the two x taps are two
+  iota-compare fields (keys ``sx_rel`` / ``sx_rel + 1``) against a
+  single dynamically-rolled 128-column window — a second dynamic roll
+  (multi-stage lane permute) cost more than the extra field build it
+  saved.  The window's +3 margin guarantees the roll's wrap column is
+  never selected by either field.
 * **f32 via a two-term bf16 split**: the f32 band is split hi/lo into
   two bf16 operands; two bf16 selection dots replace the ~6-pass
   HIGHEST-precision f32 dot.  Two bf16 terms carry ~16 of f32's 24
@@ -67,11 +69,25 @@ from ... import config
 _COEF_SCALE = 2048.0
 
 # VMEM budget for keeping the source planes resident (bytes); larger
-# sources use the streaming row-band mode.
-_PLANE_BUDGET = 8 * 1024 * 1024
+# sources use the streaming row-band mode.  Round-4: raised 8→24 MB
+# with an explicit ``vmem_limit_bytes`` on the kernel — the old 8 MB
+# gate forced one-channel-resident (cs=1) plans under vmap at
+# 1440p-class u8 sizes, whose M=rh selection dots run the MXU at a
+# third of the cs=3 utilization (measured 1.77→0.80 ms for the
+# BASELINE config-5 warp, batch 2).
+_PLANE_BUDGET = 24 * 1024 * 1024
+# Per-kernel scoped-VMEM ceiling passed to Mosaic (default is 16 MB,
+# which the 24 MB resident plans exceed).
+_VMEM_LIMIT = 100 * 1024 * 1024
 # VMEM budget for the double-buffered streaming row bands (bytes).
 _BAND_BUDGET = 10 * 1024 * 1024
-_T = 8          # output rows per strip
+# Output rows per strip: t=16 measured faster than t=8 at every
+# benchmark geometry (round 4: 1080p 0.26→0.21, rot20 0.43→0.29,
+# cfg5-vmap 0.87→0.73 ms) — taller strips amortize the band loads and
+# per-strip field math over 2× the output; rh grows by |m4|·8 only.
+# t=8 remains the fallback for tiny outputs and rh-capped matrices.
+_T_CANDIDATES = (16, 8)
+_T = 8          # minimum strip height (and the sublane-alignment unit)
 _KW = 128       # selection-dot contraction width (source window)
 _RH_CAP = 120   # max band rows per lane-block (dot M-height = cs*rh)
 
@@ -155,12 +171,19 @@ def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize,
       of the streaming mode cannot lower, so a one-channel-resident
       mode (VMEM blockspecs, channel-grouped grid) serves instead.
     """
-    t = _T
-    lb = _pick_lb(minv, t)
-    if lb is None:
-        return None
-    rh = _rh(minv, t, lb)
-    if rh > _RH_CAP:
+    t = lb = rh = None
+    for tc in _T_CANDIDATES:
+        if tc > _T and h_out < tc:
+            continue  # don't compute a 16-row strip for an 8-row output
+        lbc = _pick_lb(minv, tc)
+        if lbc is None:
+            continue
+        rhc = _rh(minv, tc, lbc)
+        if rhc > _RH_CAP:
+            continue
+        t, lb, rh = tc, lbc, rhc
+        break
+    if t is None:
         return None
     nb = -(-w_out // lb)
     wp = nb * lb
@@ -334,47 +357,46 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
             else:
                 blk = src_ref[ci, pl.ds(r0, rh), pl.ds(c_al, 256)]
             if u8:
-                return blk.astype(jnp.int32).astype(jnp.float32)
-            return blk.astype(jnp.float32)
+                return blk.astype(jnp.int32)
+            return blk
 
         band256 = (
             load(0) if cs == 1
             else jnp.concatenate([load(ci) for ci in range(cs)], axis=0)
         )
-        # Window slices for the two x taps (dynamic rotate is 32-bit
-        # only, hence rolling the f32 widen).  banda[k] = src col
-        # c1 + k; bandm[k] = src col c1 + k - 1.
-        banda = pltpu.roll(band256, (256 - d) % 256, 1)[:, :_KW]
-        bandm = pltpu.roll(band256, (257 - d) % 256, 1)[:, :_KW]
+        # ONE rolled window serves both x taps (round 4; the round-3
+        # kernel rolled twice — a dynamic lane rotate is a multi-stage
+        # permute, so the second roll cost more than the extra
+        # iota-compare field that replaces it).  band[k] = src col
+        # c1 + k, in i32 (u8 widen; dynamic rotate is 32-bit only) or
+        # f32.
+        band = pltpu.roll(band256, (256 - d) % 256, 1)[:, :_KW]
 
         sx_rel = sx - c1
         sy_rel = sy - r0
-        # ONE selection field serves both taps, keyed on sx_rel + 1:
-        # a roll-derived second field keyed on sx_rel would lose the
-        # valid sx+1 tap when sx == c1 - 1 (fx in (-1, 0) at the left
-        # image edge).  sx_rel + 1 >= 1 for every valid tap0 and
-        # selects tap1 at sx_rel + 1 <= 127, so both taps stay
-        # representable; out-of-field matches only occur for taps the
-        # validity masks already zero.
-        G = (cc == sx_rel + 1).astype(fdt)
+        # Two 0/1 selection fields on the one band: G0 keys the sx tap
+        # (sx_rel >= 0 for every in-image tap0; sx_rel = -1 at the
+        # left edge simply matches nothing, and that tap's weight is
+        # already zeroed), G1 keys the sx+1 tap at sx_rel + 1 <= 127.
+        # The window's +3 span margin keeps the roll's wrap column
+        # unselectable by either field.
+        G0 = (cc == sx_rel).astype(fdt)
+        G1 = (cc == sx_rel + 1).astype(fdt)
 
         if u8:
-            p0 = jnp.dot(bandm.astype(fdt), G,
-                         preferred_element_type=jnp.float32)
-            p1 = jnp.dot(banda.astype(fdt), G,
-                         preferred_element_type=jnp.float32)
+            bb = band.astype(fdt)  # u8-derived i32: exact in bf16
+            p0 = jnp.dot(bb, G0, preferred_element_type=jnp.float32)
+            p1 = jnp.dot(bb, G1, preferred_element_type=jnp.float32)
         else:
             # Two-term bf16 split (~16 of 24 mantissa bits — exact for
             # u8/f16-derived values, ~2^-16 relative otherwise; see
-            # module docstring).  Two bf16 passes with a 0/1 field.
-            bmh = bandm.astype(fdt)
-            bml = (bandm - bmh.astype(jnp.float32)).astype(fdt)
-            bah = banda.astype(fdt)
-            bal = (banda - bah.astype(jnp.float32)).astype(fdt)
-            p0 = jnp.dot(bmh, G, preferred_element_type=jnp.float32)
-            p0 += jnp.dot(bml, G, preferred_element_type=jnp.float32)
-            p1 = jnp.dot(bah, G, preferred_element_type=jnp.float32)
-            p1 += jnp.dot(bal, G, preferred_element_type=jnp.float32)
+            # module docstring).  Two bf16 passes per field.
+            bh = band.astype(fdt)
+            bl = (band - bh.astype(jnp.float32)).astype(fdt)
+            p0 = jnp.dot(bh, G0, preferred_element_type=jnp.float32)
+            p0 += jnp.dot(bl, G0, preferred_element_type=jnp.float32)
+            p1 = jnp.dot(bh, G1, preferred_element_type=jnp.float32)
+            p1 += jnp.dot(bl, G1, preferred_element_type=jnp.float32)
 
         wx0v = wx0 * x0_ok
         wx1v = wx1 * x1_ok
@@ -391,8 +413,11 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
 
         for ci in range(cs):
             rs = slice(ci * rh, (ci + 1) * rh)
-            hrows = wx0v * p0[rs] + wx1v * p1[rs]
-            acc = jnp.sum(wv * hrows, axis=0, keepdims=True) + backfill
+            # x weights applied AFTER the vertical reduce (they are
+            # constant over dd): 4 instead of 5 rh-extent VPU passes.
+            s0 = jnp.sum(wv * p0[rs], axis=0, keepdims=True)
+            s1 = jnp.sum(wv * p1[rs], axis=0, keepdims=True)
+            acc = wx0v * s0 + wx1v * s1 + backfill
             if u8:
                 # Q22 truncation; no direct f32->u8 cast on Mosaic.
                 acc = jnp.clip(jnp.floor(acc + 1e-4), 0, 255)
@@ -455,6 +480,9 @@ def _call(planes, *, m, h_out, w_out, u8, bv, interpret, allow_stream):
         out_shape=jax.ShapeDtypeStruct((c, ns * t, wp), dtype),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
     )(planes)
     return out[:, :h_out, :w_out]
 
