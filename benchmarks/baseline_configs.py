@@ -164,13 +164,19 @@ def build_tests():
         return step5(jitter(b, i))
 
     def c5_cv():
-        roi = src5[36:1404, 64:2496]
-        wa = cv2.warpAffine(roi, m5.astype(np.float64), (1216, 684))
-        r = cv2.resize(wa, (224, 224), interpolation=cv2.INTER_LINEAR)
-        f = np.transpose(r.astype(np.float32), (2, 0, 1))
-        m, s = f.mean(axis=(1, 2), keepdims=True), f.std(axis=(1, 2), keepdims=True)
-        one = (f - m) / (s + 1e-6)
-        return np.stack([one] * (per * n_dev))
+        # Process every frame of the batch (the device side preprocesses
+        # per*n_dev frames per step; timing OpenCV on one frame and
+        # stacking copies would overstate its per-batch speed).
+        outs = []
+        for _ in range(per * n_dev):
+            roi = src5[36:1404, 64:2496]
+            wa = cv2.warpAffine(roi, m5.astype(np.float64), (1216, 684))
+            r = cv2.resize(wa, (224, 224), interpolation=cv2.INTER_LINEAR)
+            f = np.transpose(r.astype(np.float32), (2, 0, 1))
+            m, s = (f.mean(axis=(1, 2), keepdims=True),
+                    f.std(axis=(1, 2), keepdims=True))
+            outs.append((f - m) / (s + 1e-6))
+        return np.stack(outs)
 
     tests.append(TestFuncInfo(
         "cfg5_warp_pipeline_sharded", _pair(c5_cv, c5_step, (batch5j,), iters=8)))

@@ -95,6 +95,14 @@ class Preprocessor:
             if cfg.warp is not None:
                 from ..ops.warp_affine import warp_affine
 
+                # Planar hoist (round 4): the warp kernel and the
+                # resize matmuls are plane-native; converting to CHW
+                # once BEFORE the warp removes three HWC round-trips
+                # at the intermediate sizes (the warp op would
+                # otherwise transpose planes→HWC, resize HWC→planes→
+                # HWC, and change_layout HWC→CHW again).  Outputs are
+                # bit-identical — only the layout bookkeeping moves.
+                img = img.change_layout(Layout.CHW)
                 m, dsize = cfg.warp
                 img = warp_affine(img, [list(r) for r in m], tuple(dsize))
             if cfg.out_size is not None:
