@@ -223,3 +223,102 @@ def test_kernel_narrow_lane_blocks(bgr_640x360, scale):
     diff = np.abs(out_k.astype(int) - ref.astype(int))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.005
+
+
+@pytest.mark.parametrize("u8", [True, False])
+def test_kernel_nearest_matches_jnp(bgr_640x360, u8):
+    """INTER_NEAREST routes to the kernel (round-4 mode lift) and is an
+    EXACT copy of the jnp gather's picks (3-term bf16 split for f32)."""
+    import jax.numpy as jnp
+
+    from vacv_tpu import config
+    from vacv_tpu.core.types import InterMode
+
+    m = MATRICES[0]
+    minv = invert_affine(m)
+    src = bgr_640x360 if u8 else bgr_640x360.astype(np.float32)
+    planes = jnp.transpose(jnp.asarray(src), (2, 0, 1))
+    out_k = np.asarray(warp_affine_pallas(
+        planes, minv, 200, 250, u8=u8, border_value=0.0, nearest=True))
+    ref = _warp_planes(
+        planes.astype(jnp.float32), minv, 200, 250, u8=u8,
+        border_value=0.0, edge_mode="opencv",
+        interp=InterMode.INTER_NEAREST,
+    )
+    if u8:
+        ref = np.clip(np.floor(np.asarray(ref) + 0.5), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(out_k, np.asarray(ref))
+    else:
+        np.testing.assert_array_equal(out_k, np.asarray(ref))
+
+
+@pytest.mark.parametrize("border", ["replicate", "reflect", "reflect_101", "wrap"])
+@pytest.mark.parametrize("u8", [True, False])
+def test_kernel_border_modes_via_pad(bgr_640x360, border, u8):
+    """The coordinate-remap border modes route to the kernel through
+    the pad-plan (round-4 mode lift) and match the jnp remap path."""
+    import jax.numpy as jnp
+
+    import vacv_tpu as vc
+    from vacv_tpu import config
+    from vacv_tpu.core.types import BorderMode
+
+    bm = {
+        "replicate": BorderMode.BORDER_REPLICATE,
+        "reflect": BorderMode.BORDER_REFLECT,
+        "reflect_101": BorderMode.BORDER_REFLECT_101,
+        "wrap": BorderMode.BORDER_WRAP,
+    }[border]
+    # Forward translation +40/+30: inverse taps overshoot the left and
+    # top edges by ~40/30 px, well inside the pad cap.
+    m = np.array([[1.0, 0.02, 40.0], [-0.02, 1.0, 30.0]], np.float32)
+    src = bgr_640x360 if u8 else bgr_640x360.astype(np.float32)
+    before = config.kernel_count("warp_affine")
+    with config.backend("pallas"):
+        out = vc.warp_affine(src, m, (320, 200), border_mode=bm)
+    assert config.kernel_count("warp_affine") > before, "kernel not routed"
+    with config.backend("jnp"):
+        ref = vc.warp_affine(src, m, (320, 200), border_mode=bm)
+    got, want = np.asarray(out.data), np.asarray(ref.data)
+    if u8:
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.005
+    else:
+        np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_kernel_vacv_edge_mode_routes(bgr_640x360):
+    """edge_mode='vacv' (and BORDER_TRANSPARENT) now runs the kernel
+    plus the support post-mask instead of the gather fallback."""
+    import vacv_tpu as vc
+    from vacv_tpu import config
+
+    m = MATRICES[0]
+    before = config.kernel_count("warp_affine")
+    with config.backend("pallas"):
+        out = vc.warp_affine(bgr_640x360, m, (320, 200), edge_mode="vacv",
+                             border_value=7.0)
+    assert config.kernel_count("warp_affine") > before
+    with config.backend("jnp"):
+        ref = vc.warp_affine(bgr_640x360, m, (320, 200), edge_mode="vacv",
+                             border_value=7.0)
+    diff = np.abs(np.asarray(out.data).astype(int)
+                  - np.asarray(ref.data).astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.005
+
+
+def test_border_pad_plan_gates():
+    from vacv_tpu.ops.warp_affine import _border_pad_plan
+
+    # Small overshoot: padded on the two overshooting sides only.
+    m = np.array([[1.0, 0.0, 10.0], [0.0, 1.0, 8.0]], np.float32)
+    minv = invert_affine(m)
+    plan = _border_pad_plan(minv, 360, 640, 360, 640)
+    assert plan is not None
+    pt, pb, pl_, pr = plan
+    assert pt >= 8 and pl_ >= 10 and pb == 0 and pr == 0
+    # Overshoot beyond the cap: rejected (jnp gather serves it).
+    m = np.array([[1.0, 0.0, 500.0], [0.0, 1.0, 0.0]], np.float32)
+    assert _border_pad_plan(invert_affine(m), 360, 640, 360, 640) is None

@@ -239,7 +239,7 @@ def under_vmap(x) -> bool:
 
 
 def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
-            h_pad, w_pad, rbh, u8, bv, ns):
+            h_pad, w_pad, rbh, u8, bv, ns, nearest):
     stream = rbh > 0
     s = pl.program_id(1)
     m0, m1, m2, m3, m4, m5 = (jnp.float32(v) for v in m)
@@ -310,19 +310,27 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
         # XLA may materialize fx/fy twice with different FMA
         # contraction, and an inconsistent (sy, ay) pair around integer
         # boundaries selects the wrong source row outright.
-        sx = jnp.floor(fx).astype(jnp.int32)
-        sy = jnp.floor(fy).astype(jnp.int32)
-        ax = jnp.clip(fx - sx.astype(jnp.float32), 0.0, 1.0)
-        ay = jnp.clip(fy - sy.astype(jnp.float32), 0.0, 1.0)
-
-        if u8:
-            wx0 = _quantize_q11(1.0 - ax)
-            wx1 = 1.0 - wx0
-            wy0 = _quantize_q11(1.0 - ay)
-            wy1 = 1.0 - wy0
+        if nearest:
+            # Single-tap: round half-up like OpenCV's fixed-point
+            # (X0 + 512) >> 10 nearest warp, then reuse the linear
+            # algebra with degenerate weights (wx1 = wy1 = 0).
+            sx = jnp.floor(fx + 0.5).astype(jnp.int32)
+            sy = jnp.floor(fy + 0.5).astype(jnp.int32)
+            wx0 = wy0 = jnp.float32(1.0)
+            wx1 = wy1 = jnp.float32(0.0)
         else:
-            wx0, wx1 = 1.0 - ax, ax
-            wy0, wy1 = 1.0 - ay, ay
+            sx = jnp.floor(fx).astype(jnp.int32)
+            sy = jnp.floor(fy).astype(jnp.int32)
+            ax = jnp.clip(fx - sx.astype(jnp.float32), 0.0, 1.0)
+            ay = jnp.clip(fy - sy.astype(jnp.float32), 0.0, 1.0)
+            if u8:
+                wx0 = _quantize_q11(1.0 - ax)
+                wx1 = 1.0 - wx0
+                wy0 = _quantize_q11(1.0 - ay)
+                wy1 = 1.0 - wy0
+            else:
+                wx0, wx1 = 1.0 - ax, ax
+                wy0, wy1 = 1.0 - ay, ay
 
         # Per-tap image-bounds validity (OpenCV BORDER_CONSTANT).
         x0_ok = ((sx >= 0) & (sx <= w_in - 1)).astype(jnp.float32)
@@ -381,12 +389,24 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
         # The window's +3 span margin keeps the roll's wrap column
         # unselectable by either field.
         G0 = (cc == sx_rel).astype(fdt)
-        G1 = (cc == sx_rel + 1).astype(fdt)
+        G1 = None if nearest else (cc == sx_rel + 1).astype(fdt)
 
         if u8:
             bb = band.astype(fdt)  # u8-derived i32: exact in bf16
             p0 = jnp.dot(bb, G0, preferred_element_type=jnp.float32)
-            p1 = jnp.dot(bb, G1, preferred_element_type=jnp.float32)
+            p1 = None if nearest else jnp.dot(
+                bb, G1, preferred_element_type=jnp.float32)
+        elif nearest:
+            # Single-tap copy semantics must be EXACT: three-term bf16
+            # split (8+8+8 bits covers f32's 24-bit significand).
+            bh = band.astype(fdt)
+            r1 = band - bh.astype(jnp.float32)
+            bm = r1.astype(fdt)
+            bl = (r1 - bm.astype(jnp.float32)).astype(fdt)
+            p0 = jnp.dot(bh, G0, preferred_element_type=jnp.float32)
+            p0 += jnp.dot(bm, G0, preferred_element_type=jnp.float32)
+            p0 += jnp.dot(bl, G0, preferred_element_type=jnp.float32)
+            p1 = None
         else:
             # Two-term bf16 split (~16 of 24 mantissa bits — exact for
             # u8/f16-derived values, ~2^-16 relative otherwise; see
@@ -407,17 +427,20 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
 
         # Vertical 2-tap select as one iota-compare weight field —
         # shared by every channel; one VPU multiply+reduce per channel.
-        wv = jnp.where(dd == sy_rel, wy0v, 0.0) + jnp.where(
-            dd == sy_rel + 1, wy1v, 0.0
-        )
+        wv = jnp.where(dd == sy_rel, wy0v, 0.0)
+        if not nearest:
+            wv = wv + jnp.where(dd == sy_rel + 1, wy1v, 0.0)
 
         for ci in range(cs):
             rs = slice(ci * rh, (ci + 1) * rh)
             # x weights applied AFTER the vertical reduce (they are
             # constant over dd): 4 instead of 5 rh-extent VPU passes.
             s0 = jnp.sum(wv * p0[rs], axis=0, keepdims=True)
-            s1 = jnp.sum(wv * p1[rs], axis=0, keepdims=True)
-            acc = wx0v * s0 + wx1v * s1 + backfill
+            if nearest:
+                acc = wx0v * s0 + backfill
+            else:
+                s1 = jnp.sum(wv * p1[rs], axis=0, keepdims=True)
+                acc = wx0v * s0 + wx1v * s1 + backfill
             if u8:
                 # Q22 truncation; no direct f32->u8 cast on Mosaic.
                 acc = jnp.clip(jnp.floor(acc + 1e-4), 0, 255)
@@ -431,9 +454,10 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "h_out", "w_out", "u8", "bv", "interpret",
-                     "allow_stream"),
+                     "allow_stream", "nearest"),
 )
-def _call(planes, *, m, h_out, w_out, u8, bv, interpret, allow_stream):
+def _call(planes, *, m, h_out, w_out, u8, bv, interpret, allow_stream,
+          nearest=False):
     c, h_in, w_in = planes.shape
     itemsize = 1 if u8 else 4
     plan = _plan(np.asarray(m).reshape(2, 3), c, h_in, w_in, h_out,
@@ -453,6 +477,7 @@ def _call(planes, *, m, h_out, w_out, u8, bv, interpret, allow_stream):
     kernel = functools.partial(
         _kernel, m=m, h_in=h_in, w_in=w_in, t=t, lb=lb, rh=rh, nb=nb,
         cs=cs, h_pad=h_pad, w_pad=w_pad, rbh=rbh, u8=u8, bv=bv, ns=ns,
+        nearest=nearest,
     )
     dtype = jnp.uint8 if u8 else jnp.float32
     if stream:
@@ -488,16 +513,18 @@ def _call(planes, *, m, h_out, w_out, u8, bv, interpret, allow_stream):
 
 
 def warp_affine_pallas(planes, minv, h_out: int, w_out: int, *, u8: bool,
-                       border_value: float):
+                       border_value: float, nearest: bool = False):
     """Warp (c, h, w) planes (u8 or f32) with inverse matrix ``minv``.
 
     Returns (c, h_out, w_out) in the input's dtype (u8 via Q22
-    truncation).  Caller must have checked ``warp_supported``.
+    truncation).  ``nearest`` selects single-tap INTER_NEAREST
+    sampling (exact — 3-term bf16 split for f32).  Caller must have
+    checked ``warp_supported``.
     """
     m = tuple(float(v) for v in np.asarray(minv, np.float32).ravel())
     config.record_kernel("warp_affine")
     return _call(
         planes, m=m, h_out=h_out, w_out=w_out, u8=u8,
         bv=float(border_value), interpret=config.pallas_interpret(),
-        allow_stream=not under_vmap(planes),
+        allow_stream=not under_vmap(planes), nearest=nearest,
     )

@@ -103,6 +103,67 @@ def _reflect_index(t, n: int, *, include_edge: bool):
     return jnp.where(m >= n, 2 * n - 2 - m, m)
 
 
+# Largest source-margin (pixels per side) the kernel route will
+# materialize to serve a coordinate-remap border mode via padding.
+_PAD_CAP = 64
+
+# BorderMode -> jnp.pad mode reproducing cv::borderInterpolate's index
+# map: REPLICATE=clamp, REFLECT=edge-duplicating mirror ("symmetric"),
+# REFLECT_101=edge-sharing mirror ("reflect"), WRAP=periodic.
+_PAD_MODES = {
+    BorderMode.BORDER_REPLICATE: "edge",
+    BorderMode.BORDER_REFLECT: "symmetric",
+    BorderMode.BORDER_REFLECT_101: "reflect",
+    BorderMode.BORDER_WRAP: "wrap",
+}
+
+
+def _border_pad_plan(minv, h_in, w_in, h_out, w_out):
+    """Per-side source pads (top, bottom, left, right) that bring every
+    bilinear/nearest tap of the output grid in-bounds, or None.
+
+    An affine map takes its coordinate extremes at the output corners,
+    so the overshoot is static.  With the source pre-padded by the
+    border rule (and the matrix translated), the CONSTANT-border
+    Pallas kernel computes the remap modes exactly — the reference
+    served these through its OpenCV fallback (warp_affine.cpp:114-119).
+    """
+    m = np.asarray(minv, np.float64).reshape(2, 3)
+    xs = np.array([0.0, w_out - 1.0])
+    ys = np.array([0.0, h_out - 1.0])
+    cx = np.array([m[0, 0] * x + m[0, 1] * y + m[0, 2] for x in xs for y in ys])
+    cy = np.array([m[1, 0] * x + m[1, 1] * y + m[1, 2] for x in xs for y in ys])
+    # Tap range: floor(f) .. floor(f)+1, +1 margin for nearest rounding.
+    sx_min = int(np.floor(cx.min()))
+    sx_max = int(np.floor(cx.max())) + 1
+    sy_min = int(np.floor(cy.min()))
+    sy_max = int(np.floor(cy.max())) + 1
+    pl_ = max(0, -sx_min)
+    pr = max(0, sx_max - (w_in - 1))
+    pt = max(0, -sy_min)
+    pb = max(0, sy_max - (h_in - 1))
+    if max(pl_, pr, pt, pb) > _PAD_CAP:
+        return None
+    # numpy pad-mode limits: "reflect" needs pad <= n-1, "symmetric"
+    # and "edge" need n >= 1; stay strictly inside for all modes.
+    if max(pt, pb) >= h_in or max(pl_, pr) >= w_in:
+        return None
+    return pt, pb, pl_, pr
+
+
+def _vacv_support_mask(minv, h_out: int, w_out: int, h_in: int, w_in: int):
+    """The reference's skip-edge predicate on the output grid: True
+    where the 2x2 support is fully inside (warp_affine_naive.cpp:26-38)."""
+    m = [float(v) for v in np.asarray(minv, dtype=np.float32).ravel()]
+    dx = jnp.arange(w_out, dtype=jnp.float32)[None, :]
+    dy = jnp.arange(h_out, dtype=jnp.float32)[:, None]
+    fx = jnp.float32(m[0]) * dx + jnp.float32(m[1]) * dy + jnp.float32(m[2])
+    fy = jnp.float32(m[3]) * dx + jnp.float32(m[4]) * dy + jnp.float32(m[5])
+    sx = jnp.floor(fx).astype(jnp.int32)
+    sy = jnp.floor(fy).astype(jnp.int32)
+    return (sx >= 0) & (sx < w_in - 1) & (sy >= 0) & (sy < h_in - 1)
+
+
 def _warp_planes(planes, minv: np.ndarray, h_out: int, w_out: int, *, u8: bool,
                  border_value: float, edge_mode: str,
                  border: BorderMode | int = BorderMode.BORDER_CONSTANT,
@@ -276,31 +337,69 @@ def warp_affine(
     else:
         planes = data
 
-    # Fast path: the gather-free pallas kernel (TPU; exact bilinear,
-    # OpenCV border-constant semantics, u8 or f32).
+    # Fast path: the gather-free pallas kernel (TPU; exact bilinear or
+    # nearest, u8 or f32).  CONSTANT borders run the kernel directly;
+    # the coordinate-remap modes (REPLICATE/REFLECT/REFLECT_101/WRAP)
+    # run it on a border-rule-padded source with a translated matrix
+    # (static overshoot from the affine corner extremes); the vacv
+    # skip-edge semantics are an output-grid post-mask.  Only
+    # INTER_CUBIC remains on the XLA gather.
     use_kernel = False
+    pad_plan = None
     if (
-        interp == InterMode.INTER_LINEAR
-        and border_mode == BorderMode.BORDER_CONSTANT
-        and edge_mode == "opencv"
+        interp in (InterMode.INTER_LINEAR, InterMode.INTER_NEAREST)
         and data.dtype in (jnp.uint8, jnp.float32)
+        and (border_mode == BorderMode.BORDER_CONSTANT
+             or border_mode in _PAD_MODES)
     ):
         from .. import config as vconfig
         from .pallas.warp_affine import (
             under_vmap, warp_affine_pallas, warp_supported,
         )
 
-        if vconfig.use_pallas() and warp_supported(
-            minv, planes.shape[-2], planes.shape[-1], data.dtype.itemsize,
-            w_out=dsize.w, h_out=dsize.h, c=planes.shape[0],
-            allow_stream=not under_vmap(planes),
+        h_k, w_k = planes.shape[-2], planes.shape[-1]
+        if border_mode in _PAD_MODES:
+            pad_plan = _border_pad_plan(minv, h_k, w_k, dsize.h, dsize.w)
+            if pad_plan is not None:
+                pt, pb, pl_, pr = pad_plan
+                h_k, w_k = h_k + pt + pb, w_k + pl_ + pr
+        if (
+            vconfig.use_pallas()
+            and (border_mode == BorderMode.BORDER_CONSTANT
+                 or pad_plan is not None)
+            and warp_supported(
+                minv, h_k, w_k, data.dtype.itemsize,
+                w_out=dsize.w, h_out=dsize.h, c=planes.shape[0],
+                allow_stream=not under_vmap(planes),
+            )
         ):
             use_kernel = True
 
     if use_kernel:
+        kplanes, kminv = planes, minv
+        if pad_plan is not None:
+            pt, pb, pl_, pr = pad_plan
+            kplanes = jnp.pad(
+                planes, ((0, 0), (pt, pb), (pl_, pr)),
+                mode=_PAD_MODES[border_mode],
+            )
+            kminv = np.asarray(minv, np.float64).copy()
+            kminv[0, 2] += pl_
+            kminv[1, 2] += pt
+            kminv = kminv.astype(np.float32)
         out = warp_affine_pallas(
-            planes, minv, dsize.h, dsize.w, u8=is_u8, border_value=bv,
+            kplanes, kminv, dsize.h, dsize.w, u8=is_u8, border_value=bv,
+            nearest=interp == InterMode.INTER_NEAREST,
         )
+        if edge_mode == "vacv":
+            mask = _vacv_support_mask(
+                minv, dsize.h, dsize.w,
+                planes.shape[-2], planes.shape[-1])
+            if is_u8:
+                fill = np.uint8(np.clip(np.floor(bv + 1e-4), 0, 255))
+            else:
+                fill = jnp.float32(bv)
+            out = jnp.where(mask[None], out, fill)
         if squeeze:
             out = out[0]
         elif img.layout == Layout.HWC:
