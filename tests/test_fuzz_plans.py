@@ -141,3 +141,47 @@ def test_fuzz_nv_fused_geometries():
         c = cosine_similarity(got, want)
         assert abs(c - 1) < 1e-5, (h, w, rect, (ow, oh), c)
     assert ran >= 3
+
+def test_fuzz_nv_runtime_tops():
+    """Round-4 lift: random runtime crop tops through the NV kernel vs
+    the equivalent static-top call (must agree exactly) and the
+    decode+chain reference."""
+    from vacv_tpu.core.types import ColorCode
+    from vacv_tpu.ops.pallas.preprocess import (
+        nv_plan_supported, preprocess_fused_nv_batch,
+    )
+    from vacv_tpu.utils.io import bgr2nv21_numpy
+
+    rng = np.random.default_rng(4242)
+    ran = 0
+    for _ in range(80):
+        h = int(rng.integers(10, 45)) * 8
+        w = int(rng.integers(40, 200)) * 2
+        left = int(rng.integers(0, w // 8))
+        cw = int(rng.integers(max(2, w // 2), w - left))
+        ch = int(rng.integers(max(2, h // 2), h * 3 // 4))
+        ow = int(rng.integers(16, 128))
+        oh = int(rng.integers(16, 128))
+        if not nv_plan_supported(h, w, left, cw, ch, oh, ow, top=None):
+            continue
+        if ran >= 4:
+            break
+        ran += 1
+        bgr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        nv = bgr2nv21_numpy(bgr).reshape(h * 3 // 2, w)
+        rect0 = vc.VRect(left, 0, left + cw, ch)
+        for top in sorted(set(int(t) for t in rng.integers(0, h - ch + 1, 3))):
+            got = np.asarray(preprocess_fused_nv_batch(
+                nv[None], rect0, (ow, oh), top=np.int32(top), precise=True
+            ))[0]
+            rect = vc.VRect(left, top, left + cw, top + ch)
+            want = np.asarray(preprocess_fused_nv_batch(
+                nv[None], rect, (ow, oh), precise=True
+            ))[0]
+            np.testing.assert_allclose(got, want, atol=1e-6,
+                                       err_msg=str((h, w, rect, (ow, oh))))
+            dec = vc.cvt_color(nv, ColorCode.COLOR_YUV2BGR_NV21)
+            ref = _jnp_chain(dec.data, rect, (ow, oh))
+            c = cosine_similarity(got, ref)
+            assert abs(c - 1) < 1e-5, (h, w, rect, (ow, oh), c)
+    assert ran >= 2

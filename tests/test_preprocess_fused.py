@@ -247,27 +247,54 @@ def test_fused_nv_rejects_unsupported():
     assert not nv_plan_supported(360, 640, 0, 640, 24, 64, 64)
 
 
-def test_fused_nv_bottom_crop_rejected_when_unreachable():
-    """When h*3/2 % 8 != 0 the last chroma rows are unreachable by an
-    8-aligned DMA window; crops touching them must be REJECTED at plan
-    time (a lying alignment hint would silently corrupt on device)."""
+def test_fused_nv_bottom_and_full_crops_plan():
+    """Round-4 lift: the stacked buffer is wrapper-padded to 8-aligned
+    rows, so h*3/2 % 8 != 0 no longer makes the last chroma rows
+    DMA-unreachable — bottom and full-height crops now plan."""
     from vacv_tpu.ops.pallas.preprocess import nv_plan_supported
 
-    # h=1080: buffer rows 1620 (1620 % 8 = 4).  A full-height crop
-    # needs chroma to row 1619 — beyond the last aligned window.
-    assert not nv_plan_supported(1080, 1920, 0, 1920, 1080, 224, 224)
-    # The standard inset crop (rows 28..1064) stays reachable.
+    # h=1080: buffer rows 1620 (1620 % 8 = 4).  Full-height crop plans.
+    assert nv_plan_supported(1080, 1920, 0, 1920, 1080, 224, 224)
+    # Bottom crop (rows 44..1080) plans too.
+    assert nv_plan_supported(1080, 1920, 64, 1792, 1036, 224, 224, top=44)
+    # The standard inset crop keeps planning.
     assert nv_plan_supported(1080, 1920, 64, 1792, 1036, 224, 224, top=28)
-    # h=720: buffer rows 1080 (mult of 8) — full-height crops plan.
+    # h=720: buffer rows 1080 (mult of 8) — unchanged.
     assert nv_plan_supported(720, 1280, 0, 1280, 720, 224, 224)
+    # h=360 full-height (540 buffer rows, % 8 = 4): now plans.
+    assert nv_plan_supported(360, 640, 0, 640, 360, 224, 224)
+    # Runtime-top planning (top=None validates every admissible top).
+    assert nv_plan_supported(1080, 1920, 64, 1792, 720, 224, 224, top=None)
 
 
-def test_fused_nv_runtime_top_rejected(rng):
+def test_fused_nv_full_height_matches_chain(rng):
+    """The newly-planable full-height crop of a short NV frame must
+    match the decode+chain reference."""
     from vacv_tpu.ops.pallas.preprocess import preprocess_fused_nv_batch
 
-    nv = _make_nv(rng, 1, 360, 640)
-    with pytest.raises(ValueError):
-        preprocess_fused_nv_batch(nv, None, (112, 112), top=np.int32(4))
+    nv = _make_nv(rng, 2, 360, 640)
+    got = np.asarray(preprocess_fused_nv_batch(
+        nv, None, (112, 96), precise=True))
+    want = _nv_ref_pipeline(
+        nv, vc.ColorCode.COLOR_YUV2BGR_NV21, None, (112, 96))
+    assert abs(cosine_similarity(got, want) - 1) < 1e-6
+
+
+@pytest.mark.parametrize("top", [0, 4, 37, 120])
+def test_fused_nv_runtime_top_matches_static(rng, top):
+    """Round-4 lift: a runtime crop top (python int or traced scalar)
+    must reproduce the equivalent static-top result exactly."""
+    from vacv_tpu.ops.pallas.preprocess import preprocess_fused_nv_batch
+
+    h, w, ch = 360, 640, 224
+    nv = _make_nv(rng, 1, h, w)
+    rect = vc.VRect(32, top, 32 + 512, top + ch)
+    want = np.asarray(preprocess_fused_nv_batch(
+        nv, rect, (128, 96), precise=True))
+    rect0 = vc.VRect(32, 0, 32 + 512, ch)
+    got = np.asarray(preprocess_fused_nv_batch(
+        nv, rect0, (128, 96), top=np.int32(top), precise=True))
+    np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_fused_odd_output_height(rng):

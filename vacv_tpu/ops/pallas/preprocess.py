@@ -665,7 +665,7 @@ class _NvPlan:
     row_win: int
     starts: tuple
     out_row0: tuple
-    cstarts: tuple       # (n_chunks,) absolute 8-aligned chroma starts
+    c_clamp: int         # largest admissible 8-aligned chroma DMA start
     owp: int
     n_xblocks: int
     xband: int
@@ -677,15 +677,18 @@ class _NvPlan:
 
 
 @functools.lru_cache(maxsize=64)
-def _plan_nv(h_img: int, w_img: int, top: int, left: int, cw: int,
+def _plan_nv(h_img: int, w_img: int, top: int | None, left: int, cw: int,
              ch: int, oh: int, ow: int,
              precise: bool = False) -> _NvPlan | None:
     """NV plan: h_img/w_img are the *Y-plane* dims of the stacked
-    (h*3//2, w) buffer.  ``top`` is STATIC for the NV kernel: the
-    chroma plane starts mid-buffer (row h), so its DMA windows are
-    resolved at plan time — h*3//2 is not 8-aligned for common camera
-    heights (1080 → 1620) and a runtime bottom clamp would land on a
-    misaligned row.  Returns None if unsupported."""
+    (h*3//2, w) buffer.  ``top`` may be None — a RUNTIME crop top
+    (round-4 lift): the chroma DMA start is then computed in-kernel
+    from the runtime Y base with the same 8-aligned formula, and the
+    plan validates window coverage over every alignment phase and
+    clamp edge a runtime top can produce.  The stacked buffer is
+    wrapper-padded to 8-aligned rows, so the old h*3//2 % 8 tail-row
+    rejection (bottom crops, full-height crops of short frames) is
+    gone.  Returns None if unsupported."""
     if ch <= 0:
         return None
     cands = sorted(
@@ -715,7 +718,7 @@ def _plan_nv_with_chunk(h_img, w_img, top, left, cw, ch, oh, ow,
                         chunk, nbuf=_NBUF, precise=False) -> _NvPlan | None:
     if left < 0 or cw <= 0 or ch <= 0 or left + cw > w_img or ch > h_img:
         return None
-    if top < 0 or top + ch > h_img:
+    if top is not None and (top < 0 or top + ch > h_img):
         return None
     if h_img % 8 or w_img % 2 or w_img % _LANE:
         # Y height must be 8-aligned (DMA windows; camera frames are);
@@ -729,19 +732,34 @@ def _plan_nv_with_chunk(h_img, w_img, top, left, cw, ch, oh, ow,
         return None
     n_chunks, starts, out0, row_win, wy = vert
 
-    # Per-chunk chroma DMA windows, fully static (top is static).
+    # Chroma DMA windows are computed in-kernel from the runtime Y
+    # base; the plan validates coverage.  +8 slack rows absorb the
+    # base-phase variation a runtime top introduces; the stacked
+    # buffer is wrapper-padded to 8-aligned rows so the clamp can
+    # always reach the last real chroma row.
     rows = chunk + 8
-    rows_c = _ceil_to(chunk // 2 + 12, 8)
-    hbuf = h_img * 3 // 2
-    cstarts = []
-    for s in starts:
-        base = min(((top + s) // 8) * 8, h_img - rows)
-        c0 = ((h_img + base // 2) // 8) * 8
-        c0 = min(c0, ((hbuf - rows_c) // 8) * 8)
-        # Coverage: the window must reach the chunk's last chroma row.
-        if c0 + rows_c <= h_img + (base + rows - 1) // 2:
-            return None  # crop touches the DMA-unreachable tail rows
-        cstarts.append(c0)
+    rows_c = _ceil_to(chunk // 2 + 12, 8) + 8
+    hbuf = _ceil_to(h_img * 3 // 2, 8)
+    c_clamp = ((hbuf - rows_c) // 8) * 8
+    if c_clamp < 0:
+        return None
+    if top is None:
+        # Runtime top: only the base's mod-16 phase and the two clamp
+        # edges change the window geometry — check those tops.
+        top_hi = h_img - ch
+        check_tops = sorted(
+            set(range(0, min(top_hi, 15) + 1))
+            | set(range(max(0, top_hi - 15), top_hi + 1))
+        )
+    else:
+        check_tops = [top]
+    for tp in check_tops:
+        for s in starts:
+            base = min(((tp + s) // 8) * 8, h_img - rows)
+            c0 = min(((h_img + base // 2) // 8) * 8, c_clamp)
+            # Coverage: window must reach the chunk's last chroma row.
+            if c0 + rows_c <= h_img + (base + rows - 1) // 2:
+                return None
 
     # ---- horizontal: planar banded Q11 bilinear ------------------
     wx_full = _linear_weights(cw, ow, quantize=True)  # (ow, cw)
@@ -791,14 +809,14 @@ def _plan_nv_with_chunk(h_img, w_img, top, left, cw, ch, oh, ow,
         return None
     return _NvPlan(
         n_chunks, chunk, rows_c, row_win, tuple(starts), tuple(out0),
-        tuple(cstarts), owp, n_xblocks, xband, tuple(xstarts),
+        c_clamp, owp, n_xblocks, xband, tuple(xstarts),
         _split_hi_lo(wy), wx_hl, vmem, nbuf,
     )
 
 
 def _kernel_nv(
     # scalar prefetch
-    top_ref, starts_ref, out0_ref, cstart_ref,
+    top_ref, starts_ref, out0_ref,
     # inputs
     src_hbm, wy_ref, wx_ref,
     # outputs
@@ -821,10 +839,13 @@ def _kernel_nv(
         return jnp.minimum((row0 // 8) * 8, h_y - rows)
 
     def cstart_of(jj):
-        # Plan-time-resolved aligned chroma window start (may dip into
-        # the Y region; garbage rows are never referenced by the row
-        # map).
-        return cstart_ref[jj]
+        # Runtime chroma window start from the runtime Y base (round-4
+        # lift; genuinely 8-aligned: base is 8-aligned so (h_y+base//2)
+        # //8*8 and the static clamp both are).  May dip into the Y
+        # region; garbage rows are never referenced by the row map, and
+        # the plan validated coverage for every base phase.
+        b = base_of(jj)
+        return jnp.minimum(((h_y + b // 2) // 8) * 8, plan.c_clamp)
 
     def dma_y(slot, ff, jj):
         return pltpu.make_async_copy(
@@ -958,23 +979,21 @@ def _plan_nv_tables(key, precise: bool):
         wx = jnp.asarray(plan.wx if precise else plan.wx[:1])
         starts = jnp.asarray(plan.starts, jnp.int32)
         out0 = jnp.asarray(plan.out_row0, jnp.int32)
-        cstarts = jnp.asarray(plan.cstarts, jnp.int32)
-    return wy, wx, starts, out0, cstarts
+    return wy, wx, starts, out0
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("top", "left", "cw", "ch", "oh", "ow", "is_nv12",
-                     "to_rgb", "trunc_u8", "precise", "interpret",
-                     "do_norm", "mean_s", "std_s"),
+    static_argnames=("h_y", "plan_top", "left", "cw", "ch", "oh", "ow",
+                     "is_nv12", "to_rgb", "trunc_u8", "precise",
+                     "interpret", "do_norm", "mean_s", "std_s"),
 )
-def _call_nv(batch, top, wy_arr, wx_arr, starts_arr, out0_arr,
-             cstarts_arr, *, left, cw, ch, oh, ow, is_nv12, to_rgb,
+def _call_nv(batch, top_arr, wy_arr, wx_arr, starts_arr, out0_arr,
+             *, h_y, plan_top, left, cw, ch, oh, ow, is_nv12, to_rgb,
              trunc_u8, precise, interpret, do_norm=True, mean_s=None,
              std_s=None):
     n, hbuf, w = batch.shape
-    h_y = hbuf * 2 // 3
-    plan = _plan_nv(h_y, w, top, left, cw, ch, oh, ow,
+    plan = _plan_nv(h_y, w, plan_top, left, cw, ch, oh, ow,
                     precise and not interpret)
     kern = functools.partial(
         _kernel_nv, plan=plan, h_y=h_y, oh=oh, ow=ow, is_nv12=is_nv12,
@@ -988,17 +1007,14 @@ def _call_nv(batch, top, wy_arr, wx_arr, starts_arr, out0_arr,
         base = jnp.minimum((row0 // 8) * 8, h_y - rows)
         return (0, row0 - base, j, 0, 0)
 
-    def wy_index4(f, j, top_ref, starts_ref, out0_ref, cstart_ref):
-        return wy_index(f, j, top_ref, starts_ref, out0_ref)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(n, plan.n_chunks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(
                 (2 if precise else 1, 1, 1, plan.row_win, rows),
-                wy_index4,
+                wy_index,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1025,10 +1041,9 @@ def _call_nv(batch, top, wy_arr, wx_arr, starts_arr, out0_arr,
         ],
         interpret=interpret,
     )(
-        jnp.asarray([top], jnp.int32),
+        top_arr,
         starts_arr,
         out0_arr,
-        cstarts_arr,
         batch,
         wy_arr,
         wx_arr,
@@ -1076,6 +1091,13 @@ def preprocess_fused_nv_batch(
     in its Q7/Q11 integer semantics, in ONE pass over HBM.  Returns
     (N, 3, oh, ow) f32 (B, G, R planes; R, G, B with ``to_rgb``).  Raises ValueError for
     unsupported configs (callers fall back to decode + jnp chain).
+
+    ``top`` (round-4 lift): a RUNTIME crop top — python int or traced
+    scalar — overriding ``crop_rect.top`` (the tracking-camera moving
+    ROI case; the reference chain supports any crop because decode and
+    crop are separate ops, cvt_color.cpp:151-156).  The caller must
+    keep ``top + crop_height <= H``; the kernel clamps reads in-bounds
+    but out-of-contract tops return pixels from the clamped window.
     """
     if batch.dtype != jnp.uint8 or batch.ndim != 3:
         raise ValueError("fused NV preprocess needs (N, H*3//2, W) uint8")
@@ -1092,24 +1114,35 @@ def preprocess_fused_nv_batch(
     ow, oh = int(out_size[0]), int(out_size[1])
     if left < 0 or cw <= 0 or ch <= 0 or left + cw > w or ch > h:
         raise ValueError("crop rect outside the frame")
-    if top is not None:
-        # The chroma DMA windows are resolved at plan time (see
-        # _plan_nv), so the NV kernel supports static crop tops only.
-        raise ValueError("fused NV preprocess needs a static crop top")
+    if top is None:
+        plan_top, top_val = top0, top0
+    else:
+        # Runtime top: plan for EVERY admissible top (plan_top=None).
+        plan_top = None
+        if isinstance(top, (int, np.integer)):
+            if top < 0 or top + ch > h:
+                raise ValueError("crop rect outside the frame")
+        top_val = top
     wp = _nv_pad_w(w)
     pv = precise and not config.pallas_interpret()
-    if _plan_nv(h, wp, top0, left, cw, ch, oh, ow, pv) is None:
+    if _plan_nv(h, wp, plan_top, left, cw, ch, oh, ow, pv) is None:
         raise ValueError("config not supported by the fused NV kernel")
-    if wp != w:
-        batch = jnp.pad(batch, ((0, 0), (0, 0), (0, wp - w)))
+    # 8-align the stacked buffer rows (h*3//2 is 4-mod-8 for h%16==8:
+    # the last chroma rows would otherwise be DMA-unreachable) and
+    # lane-pad the width.
+    hbp = _ceil_to(hbuf, 8)
+    if wp != w or hbp != hbuf:
+        batch = jnp.pad(batch, ((0, 0), (0, hbp - hbuf), (0, wp - w)))
     config.record_kernel("preprocess_fused_nv")
-    wy_arr, wx_arr, starts_arr, out0_arr, cstarts_arr = _plan_nv_tables(
-        (h, wp, top0, left, cw, ch, oh, ow, pv), precise
+    wy_arr, wx_arr, starts_arr, out0_arr = _plan_nv_tables(
+        (h, wp, plan_top, left, cw, ch, oh, ow, pv), precise
     )
+    top_arr = jnp.reshape(jnp.asarray(top_val, jnp.int32), (1,))
     (res,) = _call_nv(
         batch,
-        top0,
-        wy_arr, wx_arr, starts_arr, out0_arr, cstarts_arr,
+        top_arr,
+        wy_arr, wx_arr, starts_arr, out0_arr,
+        h_y=h, plan_top=plan_top,
         left=left, cw=cw, ch=ch, oh=oh, ow=ow, is_nv12=is_nv12,
         to_rgb=to_rgb, trunc_u8=trunc_u8, precise=precise,
         do_norm=bool(normalize),
