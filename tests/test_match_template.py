@@ -70,3 +70,50 @@ def test_min_max_idx_all_masked():
     x = np.array([[3.0, 1.0], [7.0, -2.0]], np.float32)
     mn, mx, _, _ = vc.min_max_idx(x, np.zeros_like(x, dtype=np.uint8))
     assert np.isnan(float(mn)) and np.isnan(float(mx))
+
+
+def test_corr_kernel_routes_and_matches_fallback(rng):
+    """Round-4 kernel: the resident-image correlation must route under
+    the pallas backend and agree with the XLA unfold fallback."""
+    import jax.numpy as jnp
+
+    from vacv_tpu import config
+    from vacv_tpu.ops.match_template import _corr
+
+    x = jnp.asarray(rng.integers(0, 256, (1, 3, 96, 256)).astype(np.float32))
+    k = jnp.asarray(rng.integers(0, 256, (1, 3, 24, 17)).astype(np.float32))
+    with config.backend("jnp"):
+        ref = np.asarray(_corr(x, k))
+    before = config.kernel_count("match_corr")
+    with config.backend("pallas"):
+        got = np.asarray(_corr(x, k, True))
+    assert config.kernel_count("match_corr") > before
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-2)
+
+
+def test_corr_kernel_fractional_f32(rng):
+    """Fractional (non-u8-derived) f32 images take the hi/lo image
+    split; error must stay far below the 1e-4 cosine bar."""
+    import jax.numpy as jnp
+
+    from vacv_tpu import config
+    from vacv_tpu.ops.match_template import _corr
+
+    x = jnp.asarray(rng.random((1, 1, 64, 128), dtype=np.float32) * 2 - 1)
+    k = jnp.asarray(rng.random((1, 1, 16, 16), dtype=np.float32) * 2 - 1)
+    with config.backend("jnp"):
+        ref = np.asarray(_corr(x, k))
+    with config.backend("pallas"):
+        got = np.asarray(_corr(x, k, False))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 1e-5 * scale
+
+
+def test_corr_supported_gates():
+    from vacv_tpu.ops.pallas.match_template import corr_supported
+
+    assert corr_supported(3, 360, 640, 32, 32)
+    assert corr_supported(1, 1080, 1920, 64, 64)
+    assert not corr_supported(3, 360, 640, 32, 200)   # tw > 128
+    assert not corr_supported(3, 16, 640, 32, 16)     # th > h
+    assert not corr_supported(3, 2200, 4000, 32, 32)  # over VMEM budget

@@ -3,20 +3,53 @@
 The reference wraps OpenCV's ``matchTemplate``/``minMaxIdx`` with naive
 /SSE/NEON slots left as todos
 (``/root/reference/src/cv/match_template.cpp:13-61``).  We implement the
-modes natively: cross-correlation lowers to
-``lax.conv_general_dilated`` (which XLA maps onto the MXU), and the
-windowed sums needed by the SQDIFF/NORMED/CCOEFF families reuse the
-same convolution machinery with a ones-kernel.  Formulas follow
-OpenCV's documented definitions; multi-channel images sum the
-numerator/denominator over channels.
+modes natively: the correlation core runs the resident-image Pallas
+kernel (``ops/pallas/match_template.py`` — one HBM read of the image,
+shifted-template-stack MXU dots) with an unfold-matmul XLA fallback,
+and the windowed sums the SQDIFF/NORMED/CCOEFF families need are
+separable banded ones-matmuls.  Formulas follow OpenCV's documented
+definitions; multi-channel images sum the numerator/denominator over
+channels.
 """
 from __future__ import annotations
 
+import functools
+
 import jax.lax as lax
 import jax.numpy as jnp
+import numpy as np
 
+from .. import config
 from ..core.image import Image, as_image
 from ..core.types import Layout, MatchMode
+
+
+@functools.lru_cache(maxsize=128)
+def _ones_band(n_in: int, taps: int) -> np.ndarray:
+    """(n_in - taps + 1, n_in) band-of-ones windowed-sum matrix."""
+    n_out = n_in - taps + 1
+    w = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        w[o, o : o + taps] = 1.0
+    return w
+
+
+def _box_sum(x, th: int, tw: int):
+    """Sliding-window (th, tw) sum over the trailing (H, W) axes of
+    ``x`` -> (..., H-th+1, W-tw+1).
+
+    A box sum is separable: two banded ones-matmuls replace the
+    th-amplified ones-kernel unfold the round-3 code used (the single
+    biggest traffic term of the NORMED/SQDIFF/CCOEFF denominators).
+    HIGHEST precision keeps the f32 accumulation faithful — windowed
+    sums of x**2 overflow bf16's 8-bit mantissa badly.
+    """
+    wv = jnp.asarray(_ones_band(x.shape[-2], th))
+    wx = jnp.asarray(_ones_band(x.shape[-1], tw))
+    t = jnp.matmul(wv, x, preferred_element_type=jnp.float32,
+                   precision=lax.Precision.HIGHEST)
+    return jnp.matmul(t, wx.T, preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST)
 
 
 def _nchw(img: Image):
@@ -29,14 +62,18 @@ def _nchw(img: Image):
     return d[None]
 
 
-def _corr(x, k):
+def _corr(x, k, exact_img: bool = False):
     """Valid cross-correlation: x (1,C,H,W) with k (1,C,th,tw) ->
     (H-th+1, W-tw+1).
 
-    TPU-native formulation: XLA lowers a one-output-channel 2-D conv
-    to a form the MXU cannot use (measured 126 ms for a 32x32 template
-    over 640x360 — 20x slower than single-thread OpenCV).  Instead:
-    a shared vertical unfold ``U[(c,dy), y, xx] = x[c, y+dy, xx]``,
+    Fast path (round 4): the resident-image Pallas kernel
+    (``ops/pallas/match_template.py``) — one HBM read of the image,
+    shifted-template-stack MXU dots, diagonal roll epilogue.
+
+    XLA fallback: XLA lowers a one-output-channel 2-D conv to a form
+    the MXU cannot use (measured 126 ms for a 32x32 template over
+    640x360 — 20x slower than single-thread OpenCV).  Instead: a
+    shared vertical unfold ``U[(c,dy), y, xx] = x[c, y+dy, xx]``,
     ONE ``(tw, C*th) @ (C*th, rows*W)`` matmul producing every
     template-column's vertical correlation, and ``tw`` shifted adds.
     The dot runs on f32 operands at ``Precision.HIGHEST`` (true f32
@@ -45,6 +82,11 @@ def _corr(x, k):
     to bound the unfold buffer.
     """
     _, c, h, w = x.shape
+    if config.use_pallas():
+        from .pallas.match_template import corr_pallas, corr_supported
+
+        if corr_supported(c, h, w, k.shape[2], k.shape[3]):
+            return corr_pallas(x, k, exact_img=exact_img)
     th, tw = k.shape[2], k.shape[3]
     h_out, w_out = h - th + 1, w - tw + 1
     k2 = jnp.transpose(k[0], (2, 0, 1)).reshape(tw, c * th)
@@ -82,25 +124,26 @@ def match_template(src, target, method: MatchMode | int) -> Image:
     """Parity: ``va_cv::match_template`` (cv.h:218-219).  Returns the
     (H-th+1, W-tw+1) float32 response map as an ``Image``."""
     method = MatchMode(method)
-    x = _nchw(as_image(src))
+    simg = as_image(src)
+    exact_img = simg.data.dtype == jnp.uint8  # bf16-exact image values
+    x = _nchw(simg)
     t = _nchw(as_image(target))
     k = t  # (1, C, th, tw) used directly as the conv kernel
     th, tw = k.shape[2], k.shape[3]
     n = th * tw
-    ones = jnp.ones_like(k[:, :1])  # (1,1,th,tw)
 
     if method in (MatchMode.TM_CCORR, MatchMode.TM_CCORR_NORMED):
-        num = _corr(x, k)
+        num = _corr(x, k, exact_img)
         if method == MatchMode.TM_CCORR:
             return Image(num, Layout.HWC)
-        wnd2 = _corr(jnp.sum(x * x, axis=1, keepdims=True), ones)
+        wnd2 = _box_sum(jnp.sum(x[0] * x[0], axis=0), th, tw)
         t2 = jnp.sum(k * k)
         denom = jnp.sqrt(wnd2 * t2)
         return Image(_normed_div(num, denom, sqdiff=False), Layout.HWC)
 
     if method in (MatchMode.TM_SQDIFF, MatchMode.TM_SQDIFF_NORMED):
-        cc = _corr(x, k)
-        wnd2 = _corr(jnp.sum(x * x, axis=1, keepdims=True), ones)
+        cc = _corr(x, k, exact_img)
+        wnd2 = _box_sum(jnp.sum(x[0] * x[0], axis=0), th, tw)
         t2 = jnp.sum(k * k)
         num = wnd2 - 2.0 * cc + t2
         if method == MatchMode.TM_SQDIFF:
@@ -111,18 +154,14 @@ def match_template(src, target, method: MatchMode | int) -> Image:
     # CCOEFF family: mean-centred template per channel.
     t_mean = jnp.mean(k, axis=(2, 3), keepdims=True)
     kc = k - t_mean
-    num = _corr(x, kc)
+    num = _corr(x, kc, exact_img)
     if method == MatchMode.TM_CCOEFF:
         return Image(num, Layout.HWC)
 
     # Window variance term summed over channels:
     #   Σ_c [ Σw x² − (Σw x)²/n ]
-    wnd2 = _corr(jnp.sum(x * x, axis=1, keepdims=True), ones)
-    # Per-channel window sums via the same matmul correlation (the
-    # grouped conv this used had the same MXU-less lowering problem).
-    wnd1_per_c = jnp.stack(
-        [_corr(x[:, ci : ci + 1], ones) for ci in range(x.shape[1])]
-    )  # (C, H', W')
+    wnd2 = _box_sum(jnp.sum(x[0] * x[0], axis=0), th, tw)
+    wnd1_per_c = _box_sum(x[0], th, tw)  # (C, H', W')
     wnd_var = wnd2 - jnp.sum(wnd1_per_c * wnd1_per_c, axis=0) / n
     t_var = jnp.sum(kc * kc)
     denom = jnp.sqrt(jnp.maximum(wnd_var, 0.0) * t_var)
