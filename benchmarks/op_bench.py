@@ -287,8 +287,213 @@ def build_tests(sizes):
             )
 
         tests.append(TestFuncInfo(
-            "match_template_ccoeff_640x360",
+            "match_template_ccoeff_gray_640x360",
             _pair(cv_mt, mt_step, (img6j, tmplj)),
+        ))
+
+        # ---- match_template: every TM_* mode at 32x32, CCOEFF at
+        # 16/64 (round-4: the kernel rewrite; VERDICT item 4) --------
+        mt_modes = [
+            (vc.MatchMode.TM_SQDIFF, cv2.TM_SQDIFF),
+            (vc.MatchMode.TM_SQDIFF_NORMED, cv2.TM_SQDIFF_NORMED),
+            (vc.MatchMode.TM_CCORR, cv2.TM_CCORR),
+            (vc.MatchMode.TM_CCORR_NORMED, cv2.TM_CCORR_NORMED),
+            (vc.MatchMode.TM_CCOEFF, cv2.TM_CCOEFF),
+        ]
+        src6u = _img(360, 640, seed=8)
+        src6uj = jax.device_put(jnp.asarray(src6u))
+        for ours, theirs in mt_modes:
+            t3 = src6u[100:132, 200:232].copy()
+            t3j = jax.device_put(jnp.asarray(t3))
+
+            def mt3_step(i, b, t, mode=ours):
+                win = lax.dynamic_slice(b, (i % 2, 0, 0), (358, 640, 3))
+                return vc.match_template(win, t, mode).data
+
+            def cv_mt3(s=src6u, t=t3, mode=theirs):
+                return cv2.matchTemplate(
+                    s[:358].astype(np.float32),
+                    t.astype(np.float32), mode)
+
+            tests.append(TestFuncInfo(
+                f"match_template_{vc.MatchMode(ours).name[3:].lower()}"
+                "_640x360",
+                _pair(cv_mt3, mt3_step, (src6uj, t3j)),
+            ))
+        for ts_ in (16, 64):
+            tt = src6u[100:100 + ts_, 200:200 + ts_].copy()
+            ttj = jax.device_put(jnp.asarray(tt))
+
+            def mtt_step(i, b, t):
+                win = lax.dynamic_slice(b, (i % 2, 0, 0), (358, 640, 3))
+                return vc.match_template(
+                    win, t, vc.MatchMode.TM_CCOEFF).data
+
+            def cv_mtt(s=src6u, t=tt):
+                return cv2.matchTemplate(
+                    s[:358].astype(np.float32),
+                    t.astype(np.float32), cv2.TM_CCOEFF)
+
+            tests.append(TestFuncInfo(
+                f"match_template_ccoeff_t{ts_}_640x360",
+                _pair(cv_mtt, mtt_step, (src6uj, ttj)),
+            ))
+
+        # ---- resize: nearest / area / lanczos4 (native modes the
+        # reference forwarded to OpenCV; VERDICT item 4) -------------
+        for mode_name, vmode, cvmode in (
+            ("nearest", vc.INTER_NEAREST, cv2.INTER_NEAREST),
+            ("area", vc.INTER_AREA, cv2.INTER_AREA),
+            ("lanczos4", vc.INTER_LANCZOS4, cv2.INTER_LANCZOS4),
+        ):
+            def rm_step(i, b, m=vmode):
+                win = lax.dynamic_slice(b, (i % 2, 0, 0), (358, 640, 3))
+                return resize(vc.Image(win, Layout.HWC), (224, 224),
+                              interpolation=m).data
+
+            def cv_rm(s=_img(360, 640).astype(np.float32), m=cvmode):
+                return cv2.resize(s[:358], (224, 224), interpolation=m)
+
+            tests.append(TestFuncInfo(
+                f"resize_{mode_name}_f32_640x360",
+                _pair(cv_rm, rm_step,
+                      (jax.device_put(jnp.asarray(
+                          _img(360, 640).astype(np.float32))),)),
+            ))
+
+        # ---- resize_normalize: fused-kernel route vs OpenCV chain --
+        from vacv_tpu.ops.fused import resize_normalize
+
+        def rn_step(i, b):
+            win = lax.dynamic_slice(b, (8 * (i % 2), 0, 0), (352, 640, 3))
+            return resize_normalize(
+                vc.Image(win, Layout.HWC), (224, 224)).data
+
+        def cv_rn(s=_img(360, 640)):
+            r = cv2.resize(s[:352], (224, 224)).astype(np.float32)
+            m, sd = cv2.meanStdDev(r)
+            return (r - m.ravel().astype(np.float32)) / (
+                sd.ravel().astype(np.float32) + 1e-6)
+
+        tests.append(TestFuncInfo(
+            "resize_normalize_640x360",
+            _pair(cv_rn, rn_step,
+                  (jax.device_put(jnp.asarray(_img(360, 640))),)),
+        ))
+
+    # ---- cvt_color: YCrCb / YUV / HSV, both directions (round-4
+    # VERDICT item 4: these had tests but no device rows) ------------
+    if (1080, 1920) in sizes:
+        src = _img(1080, 1920, seed=7)
+        srcj = jax.device_put(jnp.asarray(src))
+        hsv_in = cv2.cvtColor(src, cv2.COLOR_BGR2HSV)
+        ycc_in = cv2.cvtColor(src, cv2.COLOR_BGR2YCrCb)
+        yuv_in = cv2.cvtColor(src, cv2.COLOR_BGR2YUV)
+        for cname, vcode, cvcode, inp in (
+            ("bgr2ycrcb", vc.ColorCode.COLOR_BGR2YCrCb,
+             cv2.COLOR_BGR2YCrCb, src),
+            ("ycrcb2bgr", vc.ColorCode.COLOR_YCrCb2BGR,
+             cv2.COLOR_YCrCb2BGR, ycc_in),
+            ("bgr2yuv", vc.ColorCode.COLOR_BGR2YUV,
+             cv2.COLOR_BGR2YUV, src),
+            ("yuv2bgr_full", vc.ColorCode.COLOR_YUV2BGR,
+             cv2.COLOR_YUV2BGR, yuv_in),
+            ("bgr2hsv", vc.ColorCode.COLOR_BGR2HSV,
+             cv2.COLOR_BGR2HSV, src),
+            ("hsv2bgr", vc.ColorCode.COLOR_HSV2BGR,
+             cv2.COLOR_HSV2BGR, hsv_in),
+        ):
+            inj = jax.device_put(jnp.asarray(inp))
+
+            def cv_cvt(x=inp, code=cvcode):
+                return cv2.cvtColor(x[:1078], code)
+
+            def cvt_step(i, b, code=vcode):
+                win = lax.dynamic_slice(b, (i % 2, 0, 0), (1078, 1920, 3))
+                return vc.cvt_color(win, code).data
+
+            tests.append(TestFuncInfo(
+                f"cvt_{cname}_1920x1080",
+                _pair(cv_cvt, cvt_step, (inj,)),
+            ))
+
+        # ---- warp_affine non-default modes (round-4 kernel routes:
+        # nearest + replicate must sit within ~2x of the base row) ---
+        m = np.array([[0.85, 0.05, 38.4], [-0.05, 0.85, 21.6]], np.float32)
+
+        def wn_step(i, b, mm=m):
+            win = lax.dynamic_slice(b, (8 * (i % 2), 0, 0), (1072, 1920, 3))
+            return vc.warp_affine(
+                vc.Image(win, Layout.HWC), mm, (960, 536),
+                flags=vc.INTER_NEAREST).data
+
+        tests.append(TestFuncInfo(
+            "warp_nearest_1920x1080",
+            _pair(lambda s=src, mm=m: cv2.warpAffine(
+                s[:1072], mm.astype(np.float64), (960, 536),
+                flags=cv2.INTER_NEAREST), wn_step, (srcj,)),
+        ))
+
+        def wr_step(i, b, mm=m):
+            win = lax.dynamic_slice(b, (8 * (i % 2), 0, 0), (1072, 1920, 3))
+            return vc.warp_affine(
+                vc.Image(win, Layout.HWC), mm, (960, 536),
+                border_mode=vc.BorderMode.BORDER_REPLICATE).data
+
+        tests.append(TestFuncInfo(
+            "warp_replicate_1920x1080",
+            _pair(lambda s=src, mm=m: cv2.warpAffine(
+                s[:1072], mm.astype(np.float64), (960, 536),
+                borderMode=cv2.BORDER_REPLICATE), wr_step, (srcj,)),
+        ))
+
+    # ---- fused NV camera rows at 720p/1080p/1440p (VERDICT item 4) --
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from oracle import nv_to_bgr as oracle_nv
+
+    for h, w in [s for s in sizes if s in ((720, 1280), (1080, 1920),
+                                           (1440, 2560))]:
+        from vacv_tpu.ops.pallas.preprocess import (
+            nv_plan_supported, preprocess_fused_nv_batch,
+        )
+
+        src = _img(h, w, seed=h)
+        nv = bgr2nv21_numpy(src).reshape(h * 3 // 2, w)
+        nvj = jax.device_put(jnp.asarray(nv))[None]
+        left, cw, ch = 64, w - 128, (h - 64) // 8 * 8
+        rect0 = vc.VRect(left, 0, left + cw, ch)
+        if not nv_plan_supported(h, w, left, cw, ch, 224, 224, top=None):
+            continue
+
+        def nvf_step(i, b, r0=rect0):
+            # runtime top as the anti-hoist chain (camera-ROI shape)
+            return preprocess_fused_nv_batch(
+                b, r0, (224, 224), top=8 * (i % 2))[0]
+
+        def cv_nvf(n=nv, left=left, cw=cw, ch=ch, hh=h, ww=w):
+            bgr = cv2.cvtColor(n, cv2.COLOR_YUV2BGR_NV21)
+            roi = bgr[0:ch, left:left + cw]
+            r = cv2.resize(roi, (224, 224)).astype(np.float32)
+            f = np.transpose(r, (2, 0, 1))
+            mm = f.mean(axis=(1, 2), keepdims=True)
+            ss = f.std(axis=(1, 2), keepdims=True)
+            return (f - mm) / (ss + 1e-6)
+
+        # cosine vs the Q7-spec decode chain (cv2's NV coefficients
+        # differ from the reference's integer spec).
+        dec = oracle_nv(nv[:h], nv[h:], is_nv12=False)
+        roi = dec[0:ch, left:left + cw]
+        r = cv2.resize(roi, (224, 224)).astype(np.float32)
+        f = np.transpose(r, (2, 0, 1))
+        spec = (f - f.mean(axis=(1, 2), keepdims=True)) / (
+            f.std(axis=(1, 2), keepdims=True) + 1e-6)
+
+        tests.append(TestFuncInfo(
+            f"fused_nv_camera_{w}x{h}",
+            _pair(cv_nvf, nvf_step, (nvj,), ref_for_cosine=spec),
         ))
     return tests
 

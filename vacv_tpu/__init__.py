@@ -59,6 +59,7 @@ INTER_NEAREST = InterMode.INTER_NEAREST
 INTER_LINEAR = InterMode.INTER_LINEAR
 INTER_CUBIC = InterMode.INTER_CUBIC
 INTER_AREA = InterMode.INTER_AREA
+INTER_LANCZOS4 = InterMode.INTER_LANCZOS4
 BORDER_CONSTANT = BorderMode.BORDER_CONSTANT
 BORDER_REPLICATE = BorderMode.BORDER_REPLICATE
 TM_SQDIFF = MatchMode.TM_SQDIFF

@@ -94,6 +94,37 @@ def _resize_normalize_fused(img, dsize, fx, fy, interpolation, mean,
     return Image(jnp.transpose(chw, (1, 2, 0)), Layout.HWC)
 
 
+def _warp_normalize_tail(img, warp_fn, mean, stddev) -> Image:
+    """Shared body of the two warp_affine_normalize forms.
+
+    Planar hoist (round 4): the warp kernel and the normalize kernel
+    are plane-native, so an HWC input converts to CHW once BEFORE the
+    warp — the warp op's internal planes→HWC transpose, the normalize
+    op's HWC→planes transpose, and their inverses all disappear.  The
+    warped u8 feeds the stats pass straight out of the kernel (XLA
+    fuses the f32 widen into the reductions), keeping the chain at one
+    HBM read of the source + one read/write of the warp output —
+    against the reference's three full OpenCV passes
+    (warp_affine_normalize.cpp:13-189).  Outputs are bit-identical to
+    the unhoisted chain; the result keeps the caller's layout.
+    """
+    from ..core.types import Layout
+    from .normalize import normalize
+
+    hwc = img.data.ndim == 3 and img.layout == Layout.HWC
+    if hwc:
+        img = img.change_layout(Layout.CHW)
+    out = warp_fn(img)
+    out = change_dtype(out, jnp.float32)
+    # Dispatcher: the CHW-f32 self-stats case routes to the two-phase
+    # pallas normalize kernel (faster than XLA's fused reductions
+    # there); explicit stats use the jnp path.
+    out = normalize(out, mean, stddev)
+    if hwc:
+        out = out.change_layout(Layout.HWC)
+    return out
+
+
 def warp_affine_normalize(
     src,
     M,
@@ -106,9 +137,12 @@ def warp_affine_normalize(
 ) -> Image:
     """Parity: ``va_cv::warp_affine_normalize`` matrix form
     (cv.h:172-178)."""
-    out = warp_affine(src, M, dsize, flags, border_mode, border_value)
-    out = change_dtype(out, jnp.float32)
-    return normalize_jnp(out, mean, stddev)
+    return _warp_normalize_tail(
+        as_image(src),
+        lambda im: warp_affine(im, M, dsize, flags, border_mode,
+                               border_value),
+        mean, stddev,
+    )
 
 
 def warp_affine_normalize_rot(
@@ -125,7 +159,9 @@ def warp_affine_normalize_rot(
 ) -> Image:
     """Parity: ``va_cv::warp_affine_normalize`` scale/rot form
     (cv.h:194-201)."""
-    out = warp_affine_rot(src, scale, rot, dsize, aux_param, flags,
-                          border_mode, border_value)
-    out = change_dtype(out, jnp.float32)
-    return normalize_jnp(out, mean, stddev)
+    return _warp_normalize_tail(
+        as_image(src),
+        lambda im: warp_affine_rot(im, scale, rot, dsize, aux_param,
+                                   flags, border_mode, border_value),
+        mean, stddev,
+    )

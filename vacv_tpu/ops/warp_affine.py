@@ -105,7 +105,11 @@ def _reflect_index(t, n: int, *, include_edge: bool):
 
 # Largest source-margin (pixels per side) the kernel route will
 # materialize to serve a coordinate-remap border mode via padding.
-_PAD_CAP = 64
+# Generous on purpose: a 256 px pad at 1080p costs a ~30 us copy while
+# the gather fallback it avoids runs ~16 ms (round-4 bench: a REPLICATE
+# warp overshooting 81 px fell past the old 64 px cap straight onto the
+# 11 ms gather).
+_PAD_CAP = 256
 
 # BorderMode -> jnp.pad mode reproducing cv::borderInterpolate's index
 # map: REPLICATE=clamp, REFLECT=edge-duplicating mirror ("symmetric"),
