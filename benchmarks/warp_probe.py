@@ -25,7 +25,7 @@ from benchmarks.op_bench import _img
 variant = os.environ["PROBE_VARIANT"]
 
 def probe_kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
-                 h_pad, w_pad, rbh, u8, bv, ns):
+                 h_pad, w_pad, rbh, u8, bv, ns, nearest):
     s = pl.program_id(1)
     m0, m1, m2, m3, m4, m5_ = (jnp.float32(v) for v in m)
     jc = jax.lax.broadcasted_iota(jnp.int32, (1, t * lb), 1)
@@ -34,6 +34,9 @@ def probe_kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
     dy = (s * t).astype(jnp.float32) + trow_f
     dd = jax.lax.broadcasted_iota(jnp.int32, (rh, t * lb), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (W._KW, t * lb), 0)
+    if variant == "gcat":
+        cc2 = jax.lax.broadcasted_iota(jnp.int32, (W._KW, 2 * t * lb), 0)
+        jc2 = jax.lax.broadcasted_iota(jnp.int32, (W._KW, 2 * t * lb), 1)
     fdt = jnp.bfloat16
     for b in range(nb):
         dx = jnp.float32(b * lb) + lane_f
@@ -57,28 +60,25 @@ def probe_kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
         r0 = jnp.minimum((jnp.min(syc) // 8) * 8, h_pad - rh)
         r0 = pl.multiple_of(r0, 8)
         def load(ci):
-            blk = src_ref[ci, pl.ds(r0, rh), pl.ds(c_al, 256)]
-            return blk.astype(jnp.int32).astype(jnp.float32)
+            return src_ref[ci, pl.ds(r0, rh), pl.ds(c_al, 256)].astype(jnp.int32)
         band256 = jnp.concatenate([load(ci) for ci in range(cs)], axis=0)
-        banda = pltpu.roll(band256, (256 - d) % 256, 1)[:, :W._KW]
-        bandm = pltpu.roll(band256, (257 - d) % 256, 1)[:, :W._KW]
+        band = pltpu.roll(band256, (256 - d) % 256, 1)[:, :W._KW]
         sx_rel = sx - c1
         sy_rel = sy - r0
-        if variant == "noG":
-            G = jnp.float32(b % 7 == 0) * cc.astype(fdt)  # hoistable-ish junk
-            G = (cc == (jc % lb) + 1).astype(fdt) if b == 0 else G
-        elif variant == "g2x":
-            G = (cc == sx_rel + 1).astype(fdt)
-            G2 = ((cc >= sx_rel + 1) & (cc <= sx_rel + 1)).astype(fdt)
+        bb = band.astype(fdt)
+        if variant == "gcat":
+            # ONE dot over a concatenated field: cols [0,tlb) key
+            # sx_rel, cols [tlb,2tlb) key sx_rel+1.
+            key = jnp.concatenate([sx_rel, sx_rel + 1], axis=1)
+            Gc = (cc2 == key).astype(fdt)
+            p = jnp.dot(bb, Gc, preferred_element_type=jnp.float32)
+            p0 = p[:, : t * lb]
+            p1 = p[:, t * lb :]
         else:
-            G = (cc == sx_rel + 1).astype(fdt)
-        p0 = jnp.dot(bandm.astype(fdt), G, preferred_element_type=jnp.float32)
-        if variant == "onedot":
-            p1 = p0
-        elif variant == "g2x":
-            p1 = jnp.dot(banda.astype(fdt), G2, preferred_element_type=jnp.float32)
-        else:
-            p1 = jnp.dot(banda.astype(fdt), G, preferred_element_type=jnp.float32)
+            G0 = (cc == sx_rel).astype(fdt)
+            G1 = (cc == sx_rel + 1).astype(fdt)
+            p0 = jnp.dot(bb, G0, preferred_element_type=jnp.float32)
+            p1 = jnp.dot(bb, G1, preferred_element_type=jnp.float32)
         wx0v = wx0 * x0_ok; wx1v = wx1 * x1_ok
         wy0v = wy0 * y0_ok; wy1v = wy1 * y1_ok
         wsum = (wx0 * x0_ok + wx1 * x1_ok) * (wy0 * y0_ok + wy1 * y1_ok)
@@ -86,25 +86,13 @@ def probe_kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
         wv = jnp.where(dd == sy_rel, wy0v, 0.0) + jnp.where(dd == sy_rel + 1, wy1v, 0.0)
         for ci in range(cs):
             rs = slice(ci * rh, (ci + 1) * rh)
-            if variant == "novert":
-                acc = p0[rs][0:1] * wx0v + p1[rs][0:1] * wx1v + backfill
-            elif variant == "reorder":
-                s0 = jnp.sum(wv * p0[rs], axis=0, keepdims=True)
-                s1 = jnp.sum(wv * p1[rs], axis=0, keepdims=True)
-                acc = wx0v * s0 + wx1v * s1 + backfill
-            else:
-                hrows = wx0v * p0[rs] + wx1v * p1[rs]
-                acc = jnp.sum(wv * hrows, axis=0, keepdims=True) + backfill
+            s0 = jnp.sum(wv * p0[rs], axis=0, keepdims=True)
+            s1 = jnp.sum(wv * p1[rs], axis=0, keepdims=True)
+            acc = wx0v * s0 + wx1v * s1 + backfill
             acc = jnp.clip(jnp.floor(acc + 1e-4), 0, 255)
             acc = acc.astype(jnp.int32).astype(jnp.uint8)
-            if variant == "store2x":
-                for trow in range(t):
-                    out_ref[ci, trow, b * lb : (b + 1) * lb] = acc[0, trow * lb : (trow + 1) * lb]
-                for trow in range(t):
-                    out_ref[ci, trow, b * lb : (b + 1) * lb] = acc[0, trow * lb : (trow + 1) * lb]
-            else:
-                for trow in range(t):
-                    out_ref[ci, trow, b * lb : (b + 1) * lb] = acc[0, trow * lb : (trow + 1) * lb]
+            for trow in range(t):
+                out_ref[ci, trow, b * lb : (b + 1) * lb] = acc[0, trow * lb : (trow + 1) * lb]
 
 if variant != "base":
     W._kernel = probe_kernel
@@ -142,7 +130,7 @@ def run(variant: str):
 if __name__ == "__main__":
     res = {}
     import sys
-    for v in (sys.argv[1:] or ["base", "reorder", "novert", "onedot"]):
+    for v in (sys.argv[1:] or ["base", "gcat"]):
         r = run(v)
         if r:
             res[v] = r
