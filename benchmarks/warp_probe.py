@@ -79,10 +79,14 @@ def probe_kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
             G1 = (cc == sx_rel + 1).astype(fdt)
             p0 = jnp.dot(bb, G0, preferred_element_type=jnp.float32)
             p1 = jnp.dot(bb, G1, preferred_element_type=jnp.float32)
-        wx0v = wx0 * x0_ok; wx1v = wx1 * x1_ok
-        wy0v = wy0 * y0_ok; wy1v = wy1 * y1_ok
-        wsum = (wx0 * x0_ok + wx1 * x1_ok) * (wy0 * y0_ok + wy1 * y1_ok)
-        backfill = (1.0 - wsum) * jnp.float32(bv)
+        if variant == "nomask":
+            wx0v, wx1v, wy0v, wy1v = wx0, wx1, wy0, wy1
+            backfill = jnp.float32(0.0)
+        else:
+            wx0v = wx0 * x0_ok; wx1v = wx1 * x1_ok
+            wy0v = wy0 * y0_ok; wy1v = wy1 * y1_ok
+            wsum = (wx0 * x0_ok + wx1 * x1_ok) * (wy0 * y0_ok + wy1 * y1_ok)
+            backfill = (1.0 - wsum) * jnp.float32(bv)
         wv = jnp.where(dd == sy_rel, wy0v, 0.0) + jnp.where(dd == sy_rel + 1, wy1v, 0.0)
         for ci in range(cs):
             rs = slice(ci * rh, (ci + 1) * rh)
@@ -130,7 +134,7 @@ def run(variant: str):
 if __name__ == "__main__":
     res = {}
     import sys
-    for v in (sys.argv[1:] or ["base", "gcat"]):
+    for v in (sys.argv[1:] or ["base", "nomask"]):
         r = run(v)
         if r:
             res[v] = r
