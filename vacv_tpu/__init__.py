@@ -60,8 +60,17 @@ INTER_LINEAR = InterMode.INTER_LINEAR
 INTER_CUBIC = InterMode.INTER_CUBIC
 INTER_AREA = InterMode.INTER_AREA
 INTER_LANCZOS4 = InterMode.INTER_LANCZOS4
+INTER_MAX = InterMode.INTER_MAX
+WARP_INVERSE_MAP = InterMode.WARP_INVERSE_MAP
 BORDER_CONSTANT = BorderMode.BORDER_CONSTANT
 BORDER_REPLICATE = BorderMode.BORDER_REPLICATE
+BORDER_REFLECT = BorderMode.BORDER_REFLECT
+BORDER_WRAP = BorderMode.BORDER_WRAP
+BORDER_REFLECT_101 = BorderMode.BORDER_REFLECT_101
+BORDER_REFLECT101 = BorderMode.BORDER_REFLECT_101  # cv.h:45 alias
+BORDER_DEFAULT = BorderMode.BORDER_DEFAULT
+BORDER_TRANSPARENT = BorderMode.BORDER_TRANSPARENT
+BORDER_ISOLATED = BorderMode.BORDER_ISOLATED
 TM_SQDIFF = MatchMode.TM_SQDIFF
 TM_SQDIFF_NORMED = MatchMode.TM_SQDIFF_NORMED
 TM_CCORR = MatchMode.TM_CCORR
@@ -73,6 +82,8 @@ COLOR_YUV2BGR_NV12 = ColorCode.COLOR_YUV2BGR_NV12
 COLOR_YUV2RGB_NV21 = ColorCode.COLOR_YUV2RGB_NV21
 COLOR_YUV2RGB_NV12 = ColorCode.COLOR_YUV2RGB_NV12
 COLOR_GRAY2BGR = ColorCode.COLOR_GRAY2BGR
+COLOR_GRAY2RGB = ColorCode.COLOR_GRAY2RGB
+COLOR_YUV2BGR_YV12 = ColorCode.COLOR_YUV2BGR_YV12
 COLOR_BGR2RGB = ColorCode.COLOR_BGR2RGB
 COLOR_RGB2BGR = ColorCode.COLOR_RGB2BGR
 COLOR_BGR2GRAY = ColorCode.COLOR_BGR2GRAY
