@@ -325,3 +325,19 @@ def test_fused_rejects_out_of_frame_crop(rng):
             make_batch(rng, n=1, h=144, w=176),
             vc.VRect(100, 0, 200, 144), (64, 64),
         )
+
+
+def test_fused_nv_inset_crop_skips_row_pad():
+    """Round-4 review finding: inset crops of h*3//2 % 8 != 0 frames
+    must not pay the full-batch row-pad copy; only crops whose chroma
+    windows reach the misaligned tail may set needs_pad."""
+    from vacv_tpu.ops.pallas.preprocess import _nv_pad_w, _plan_nv
+
+    wp = _nv_pad_w(1920)
+    inset = _plan_nv(1080, wp, 28, 64, 1792, 1036, 224, 224)
+    assert inset is not None and not inset.needs_pad
+    full = _plan_nv(1080, wp, 0, 0, 1920, 1080, 224, 224)
+    assert full is not None and full.needs_pad
+    # aligned-buffer frames (720p: 1080 rows) never need the pad
+    aligned = _plan_nv(720, _nv_pad_w(1280), 0, 0, 1280, 720, 224, 224)
+    assert aligned is not None and not aligned.needs_pad

@@ -322,3 +322,23 @@ def test_border_pad_plan_gates():
     # Overshoot beyond the cap: rejected (jnp gather serves it).
     m = np.array([[1.0, 0.0, 500.0], [0.0, 1.0, 0.0]], np.float32)
     assert _border_pad_plan(invert_affine(m), 360, 640, 360, 640) is None
+
+
+def test_kernel_nearest_transparent_no_vacv_mask(bgr_640x360):
+    """Round-4 review finding: the vacv skip-edge post-mask is a
+    LINEAR-only semantic (the reference's nearest path came from its
+    OpenCV fallback) — the kernel route must match the jnp route,
+    which never masks nearest."""
+    import vacv_tpu as vc
+    from vacv_tpu import config
+    from vacv_tpu.core.types import BorderMode, InterMode
+
+    m = np.array([[0.9, 0.05, 10.0], [-0.05, 0.9, 5.0]], np.float32)
+    kw = dict(flags=InterMode.INTER_NEAREST,
+              border_mode=BorderMode.BORDER_TRANSPARENT)
+    with config.backend("pallas"):
+        out = vc.warp_affine(bgr_640x360, m, (320, 200), **kw)
+    with config.backend("jnp"):
+        ref = vc.warp_affine(bgr_640x360, m, (320, 200), **kw)
+    np.testing.assert_array_equal(np.asarray(out.data),
+                                  np.asarray(ref.data))

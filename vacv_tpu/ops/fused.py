@@ -105,8 +105,11 @@ def _warp_normalize_tail(img, warp_fn, mean, stddev) -> Image:
     fuses the f32 widen into the reductions), keeping the chain at one
     HBM read of the source + one read/write of the warp output —
     against the reference's three full OpenCV passes
-    (warp_affine_normalize.cpp:13-189).  Outputs are bit-identical to
-    the unhoisted chain; the result keeps the caller's layout.
+    (warp_affine_normalize.cpp:13-189).  The hoist itself changes no
+    numerics; the self-stats case additionally routes to the pallas
+    CHW normalize kernel, whose Chan-merged moments can differ from
+    the jnp two-pass moments in the last f32 bits (well inside the
+    1e-4 bar).  The result keeps the caller's layout.
     """
     from ..core.types import Layout
     from .normalize import normalize

@@ -666,6 +666,7 @@ class _NvPlan:
     starts: tuple
     out_row0: tuple
     c_clamp: int         # largest admissible 8-aligned chroma DMA start
+    needs_pad: bool      # wrapper must 8-align the stacked buffer rows
     owp: int
     n_xblocks: int
     xband: int
@@ -734,15 +735,15 @@ def _plan_nv_with_chunk(h_img, w_img, top, left, cw, ch, oh, ow,
 
     # Chroma DMA windows are computed in-kernel from the runtime Y
     # base; the plan validates coverage.  +8 slack rows absorb the
-    # base-phase variation a runtime top introduces; the stacked
-    # buffer is wrapper-padded to 8-aligned rows so the clamp can
-    # always reach the last real chroma row.
+    # base-phase variation a runtime top introduces.  Coverage is
+    # checked against the UNPADDED buffer first; only when a window
+    # needs the misaligned tail rows (h·3/2 % 8 ≠ 0 AND the crop
+    # reaches the bottom) does the plan demand the wrapper's 8-aligned
+    # row pad — inset crops stay pad-free (a 1080p batch-32 pad is a
+    # ~100 MB HBM copy).
     rows = chunk + 8
     rows_c = _ceil_to(chunk // 2 + 12, 8) + 8
-    hbuf = _ceil_to(h_img * 3 // 2, 8)
-    c_clamp = ((hbuf - rows_c) // 8) * 8
-    if c_clamp < 0:
-        return None
+    hbuf_raw = h_img * 3 // 2
     if top is None:
         # Runtime top: only the base's mod-16 phase and the two clamp
         # edges change the window geometry — check those tops.
@@ -753,13 +754,27 @@ def _plan_nv_with_chunk(h_img, w_img, top, left, cw, ch, oh, ow,
         )
     else:
         check_tops = [top]
-    for tp in check_tops:
-        for s in starts:
-            base = min(((tp + s) // 8) * 8, h_img - rows)
-            c0 = min(((h_img + base // 2) // 8) * 8, c_clamp)
-            # Coverage: window must reach the chunk's last chroma row.
-            if c0 + rows_c <= h_img + (base + rows - 1) // 2:
-                return None
+
+    def covers(c_clamp):
+        for tp in check_tops:
+            for s in starts:
+                base = min(((tp + s) // 8) * 8, h_img - rows)
+                c0 = min(((h_img + base // 2) // 8) * 8, c_clamp)
+                # Window must reach the chunk's last chroma row.
+                if c0 + rows_c <= h_img + (base + rows - 1) // 2:
+                    return False
+        return True
+
+    c_clamp = needs_pad = None
+    for hbuf, pad in ((hbuf_raw, False), (_ceil_to(hbuf_raw, 8), True)):
+        if pad and hbuf == hbuf_raw:
+            break  # already aligned — nothing a pad could add
+        cc = ((hbuf - rows_c) // 8) * 8
+        if cc >= 0 and covers(cc):
+            c_clamp, needs_pad = cc, pad
+            break
+    if c_clamp is None:
+        return None
 
     # ---- horizontal: planar banded Q11 bilinear ------------------
     wx_full = _linear_weights(cw, ow, quantize=True)  # (ow, cw)
@@ -809,7 +824,7 @@ def _plan_nv_with_chunk(h_img, w_img, top, left, cw, ch, oh, ow,
         return None
     return _NvPlan(
         n_chunks, chunk, rows_c, row_win, tuple(starts), tuple(out0),
-        c_clamp, owp, n_xblocks, xband, tuple(xstarts),
+        c_clamp, needs_pad, owp, n_xblocks, xband, tuple(xstarts),
         _split_hi_lo(wy), wx_hl, vmem, nbuf,
     )
 
@@ -1125,12 +1140,14 @@ def preprocess_fused_nv_batch(
         top_val = top
     wp = _nv_pad_w(w)
     pv = precise and not config.pallas_interpret()
-    if _plan_nv(h, wp, plan_top, left, cw, ch, oh, ow, pv) is None:
+    plan = _plan_nv(h, wp, plan_top, left, cw, ch, oh, ow, pv)
+    if plan is None:
         raise ValueError("config not supported by the fused NV kernel")
-    # 8-align the stacked buffer rows (h*3//2 is 4-mod-8 for h%16==8:
-    # the last chroma rows would otherwise be DMA-unreachable) and
-    # lane-pad the width.
-    hbp = _ceil_to(hbuf, 8)
+    # Lane-pad the width; 8-align the stacked buffer rows only when
+    # the plan's chroma windows actually reach the misaligned tail
+    # (bottom/full-height crops of h*3//2 % 8 != 0 frames) — inset
+    # crops skip the full-batch pad copy.
+    hbp = _ceil_to(hbuf, 8) if plan.needs_pad else hbuf
     if wp != w or hbp != hbuf:
         batch = jnp.pad(batch, ((0, 0), (0, hbp - hbuf), (0, wp - w)))
     config.record_kernel("preprocess_fused_nv")

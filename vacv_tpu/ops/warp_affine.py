@@ -281,7 +281,10 @@ def _warp_planes(planes, minv: np.ndarray, h_out: int, w_out: int, *, u8: bool,
         + p11 * (wx1 * wy1)
     )
     if edge_mode == "vacv":
-        full_support = (sx >= 0) & (sx < w_in - 1) & (sy >= 0) & (sy < h_in - 1)
+        # Same predicate (and the same f32 coordinate grid — one
+        # definition keeps the kernel route's post-mask FMA-for-FMA
+        # identical to this one) as the pallas route uses.
+        full_support = _vacv_support_mask(minv, h_out, w_out, h_in, w_in)
         out = jnp.where(full_support, out, bv)
     return out
 
@@ -395,7 +398,12 @@ def warp_affine(
             kplanes, kminv, dsize.h, dsize.w, u8=is_u8, border_value=bv,
             nearest=interp == InterMode.INTER_NEAREST,
         )
-        if edge_mode == "vacv":
+        # The vacv skip-edge semantics are defined by the reference's
+        # native LINEAR kernel (warp_affine_naive.cpp:26-38); its
+        # nearest path came from the OpenCV fallback, which only
+        # rejects out-of-image coords — matching the jnp route, which
+        # never masks nearest.
+        if edge_mode == "vacv" and interp == InterMode.INTER_LINEAR:
             mask = _vacv_support_mask(
                 minv, dsize.h, dsize.w,
                 planes.shape[-2], planes.shape[-1])
