@@ -342,3 +342,55 @@ def test_kernel_nearest_transparent_no_vacv_mask(bgr_640x360):
         ref = vc.warp_affine(bgr_640x360, m, (320, 200), **kw)
     np.testing.assert_array_equal(np.asarray(out.data),
                                   np.asarray(ref.data))
+
+
+@pytest.mark.parametrize("u8", [True, False])
+@pytest.mark.parametrize("mi", [0, 1])
+def test_kernel_cubic_matches_jnp(bgr_640x360, mi, u8):
+    """Round-4: INTER_CUBIC routes to the kernel (4x4 A=-0.75 taps,
+    four selection fields) and matches the jnp gather reference."""
+    import jax.numpy as jnp
+
+    from vacv_tpu import config
+    from vacv_tpu.core.types import InterMode
+    from vacv_tpu.ops.pallas import warp_affine as wp
+
+    m = MATRICES[mi]
+    minv = invert_affine(m)
+    assert wp.warp_supported(minv, 360, 640, 1 if u8 else 4,
+                             w_out=250, h_out=200, interp="cubic")
+    src = bgr_640x360 if u8 else bgr_640x360.astype(np.float32)
+    planes = jnp.transpose(jnp.asarray(src), (2, 0, 1))
+    out_k = np.asarray(warp_affine_pallas(
+        planes, minv, 200, 250, u8=u8, border_value=0.0, interp="cubic"))
+    ref = _warp_planes(
+        planes.astype(jnp.float32), minv, 200, 250, u8=u8,
+        border_value=0.0, edge_mode="opencv",
+        interp=InterMode.INTER_CUBIC,
+    )
+    if u8:
+        ref = np.clip(np.floor(np.asarray(ref) + 0.5), 0, 255).astype(np.uint8)
+        diff = np.abs(out_k.astype(int) - ref.astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.01
+    else:
+        np.testing.assert_allclose(out_k, np.asarray(ref), atol=2e-2)
+
+
+def test_dispatcher_routes_cubic(bgr_640x360):
+    import vacv_tpu as vc
+    from vacv_tpu import config
+
+    m = MATRICES[0]
+    before = config.kernel_count("warp_affine")
+    with config.backend("pallas"):
+        out = vc.warp_affine(bgr_640x360, m, (320, 200),
+                             flags=vc.INTER_CUBIC)
+    assert config.kernel_count("warp_affine") > before
+    with config.backend("jnp"):
+        ref = vc.warp_affine(bgr_640x360, m, (320, 200),
+                             flags=vc.INTER_CUBIC)
+    diff = np.abs(np.asarray(out.data).astype(int)
+                  - np.asarray(ref.data).astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01

@@ -96,6 +96,19 @@ def _quantize_q11(w):
     return jnp.floor(w * _COEF_SCALE + 0.5) / _COEF_SCALE
 
 
+def _cubic_coefs(frac):
+    """4-tap A=-0.75 cubic weights (same expression order as the jnp
+    route's ``ops/warp_affine._cubic_coefs`` for bit-level agreement;
+    OpenCV interpolateCubic)."""
+    A = jnp.float32(-0.75)
+    f0 = frac + 1.0
+    f2 = 1.0 - frac
+    c0 = A * f0**3 - 5 * A * f0**2 + 8 * A * f0 - 4 * A
+    c1 = (A + 2) * frac**3 - (A + 3) * frac**2 + 1
+    c2 = (A + 2) * f2**3 - (A + 3) * f2**2 + 1
+    return c0, c1, c2, 1.0 - c0 - c1 - c2
+
+
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
@@ -108,26 +121,30 @@ def _spans(minv, t, lb):
     return xs, ys
 
 
-def _pick_lb(minv, t=_T):
-    """Largest lane-block width whose taps fit the 128-column window."""
+def _pick_lb(minv, t=_T, interp="linear"):
+    """Largest lane-block width whose taps fit the 128-column window
+    (cubic spans 3 more columns: taps sx-1..sx+2, window start -1)."""
+    margin = 6 if interp == "cubic" else 3
     for lb in (128, 64, 32, 16):
         xs, _ = _spans(minv, t, lb)
-        if xs + 3 <= 126:
+        if xs + margin <= 126:
             return lb
     return None
 
 
-def _rh(minv, t, lb):
+def _rh(minv, t, lb, interp="linear"):
     _, ys = _spans(minv, t, lb)
-    return _round_up(ys + 10, 8)
+    return _round_up(ys + (13 if interp == "cubic" else 10), 8)
 
 
-def _row_band_height(minv, t, wp, rh, h_in):
+def _row_band_height(minv, t, wp, rh, h_in, interp="linear"):
     """Streaming-mode band height: source rows feeding one full
-    (t, wp) output strip, plus per-block slack (8-align both ends)."""
+    (t, wp) output strip, plus per-block slack (8-align both ends;
+    cubic taps reach one row above / two below the linear span)."""
     m = np.abs(np.asarray(minv, np.float64)).ravel()
     span = int(np.ceil(m[3] * (wp - 1) + m[4] * (t - 1)))
-    return min(_round_up(span + 11, 8) + rh + 8, h_in)
+    slack = 14 if interp == "cubic" else 11
+    return min(_round_up(span + slack, 8) + rh + 8, h_in)
 
 
 def _stream_ok(minv, h_in, w_in, w_out, itemsize):
@@ -140,11 +157,12 @@ def _stream_ok(minv, h_in, w_in, w_out, itemsize):
     )
 
 
-def _stream_plan(minv, t, lb, rh, wp, c, h_in, w_in, itemsize):
+def _stream_plan(minv, t, lb, rh, wp, c, h_in, w_in, itemsize,
+                 interp="linear"):
     """(cs, rbh) for the streaming mode, or None if its gates fail."""
     if h_in % 8 or w_in % 128 or w_in < 256:
         return None
-    rbh = _row_band_height(minv, t, wp, rh, h_in)
+    rbh = _row_band_height(minv, t, wp, rh, h_in, interp)
     if rbh < rh:
         # Short planes (h_in < rh): the per-block vertical window would
         # overrun the streamed band (`pl.ds(off, rh)` of an rbh-row
@@ -159,7 +177,7 @@ def _stream_plan(minv, t, lb, rh, wp, c, h_in, w_in, itemsize):
 
 
 def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize,
-          allow_stream=True):
+          allow_stream=True, interp="linear"):
     """Static kernel plan, or None if unsupported.
 
     Mode choice for planes that don't fit whole:
@@ -175,10 +193,10 @@ def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize,
     for tc in _T_CANDIDATES:
         if tc > _T and h_out < tc:
             continue  # don't compute a 16-row strip for an 8-row output
-        lbc = _pick_lb(minv, tc)
+        lbc = _pick_lb(minv, tc, interp)
         if lbc is None:
             continue
-        rhc = _rh(minv, tc, lbc)
+        rhc = _rh(minv, tc, lbc, interp)
         if rhc > _RH_CAP:
             continue
         t, lb, rh = tc, lbc, rhc
@@ -194,7 +212,7 @@ def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize,
     else:
         if allow_stream:
             sp = _stream_plan(minv, t, lb, rh, wp, c, h_in, w_in,
-                              itemsize)
+                              itemsize, interp)
             if sp is not None:
                 cs, rbh = sp
         if cs is None and plane <= _PLANE_BUDGET:
@@ -216,13 +234,14 @@ def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize,
 
 def warp_supported(minv, h_in, w_in, itemsize: int = 1,
                    w_out: int | None = None, h_out: int | None = None,
-                   c: int = 3, allow_stream: bool = True) -> bool:
+                   c: int = 3, allow_stream: bool = True,
+                   interp: str = "linear") -> bool:
     """Can the pallas kernel handle this warp config?  Pass
     ``allow_stream=False`` when the call will run under vmap (use
     :func:`under_vmap` on the operand)."""
     return _plan(
         minv, c, h_in, w_in, h_out or h_in, w_out or w_in, itemsize,
-        allow_stream,
+        allow_stream, interp,
     ) is not None
 
 
@@ -239,7 +258,9 @@ def under_vmap(x) -> bool:
 
 
 def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
-            h_pad, w_pad, rbh, u8, bv, ns, nearest):
+            h_pad, w_pad, rbh, u8, bv, ns, interp):
+    nearest = interp == "nearest"
+    cubic = interp == "cubic"
     stream = rbh > 0
     s = pl.program_id(1)
     m0, m1, m2, m3, m4, m5 = (jnp.float32(v) for v in m)
@@ -256,6 +277,8 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
             jnp.minimum(jnp.minimum(cor[0], cor[1]),
                         jnp.minimum(cor[2], cor[3]))
         ).astype(jnp.int32)
+        if cubic:
+            rmin = rmin - 1  # cubic taps reach one row above floor(fy)
         r = jnp.minimum((jnp.clip(rmin, 0, None) // 8) * 8, h_in - rbh)
         return pl.multiple_of(r, 8)
 
@@ -312,12 +335,20 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
         # boundaries selects the wrong source row outright.
         if nearest:
             # Single-tap: round half-up like OpenCV's fixed-point
-            # (X0 + 512) >> 10 nearest warp, then reuse the linear
-            # algebra with degenerate weights (wx1 = wy1 = 0).
+            # (X0 + 512) >> 10 nearest warp; degenerate 1-tap weights.
             sx = jnp.floor(fx + 0.5).astype(jnp.int32)
             sy = jnp.floor(fy + 0.5).astype(jnp.int32)
-            wx0 = wy0 = jnp.float32(1.0)
-            wx1 = wy1 = jnp.float32(0.0)
+            wx = wy = (jnp.float32(1.0),)
+            k0 = 0
+        elif cubic:
+            # 4x4 A=-0.75 taps at sx-1..sx+2 / sy-1..sy+2 (k0 = -1).
+            sx = jnp.floor(fx).astype(jnp.int32)
+            sy = jnp.floor(fy).astype(jnp.int32)
+            ax = jnp.clip(fx - sx.astype(jnp.float32), 0.0, 1.0)
+            ay = jnp.clip(fy - sy.astype(jnp.float32), 0.0, 1.0)
+            wx = _cubic_coefs(ax)
+            wy = _cubic_coefs(ay)
+            k0 = -1
         else:
             sx = jnp.floor(fx).astype(jnp.int32)
             sy = jnp.floor(fy).astype(jnp.int32)
@@ -325,31 +356,38 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
             ay = jnp.clip(fy - sy.astype(jnp.float32), 0.0, 1.0)
             if u8:
                 wx0 = _quantize_q11(1.0 - ax)
-                wx1 = 1.0 - wx0
                 wy0 = _quantize_q11(1.0 - ay)
-                wy1 = 1.0 - wy0
             else:
-                wx0, wx1 = 1.0 - ax, ax
-                wy0, wy1 = 1.0 - ay, ay
+                wx0, wy0 = 1.0 - ax, 1.0 - ay
+            wx = (wx0, 1.0 - wx0)
+            wy = (wy0, 1.0 - wy0)
+            k0 = 0
 
+        ntx, nty = len(wx), len(wy)
         # Per-tap image-bounds validity (OpenCV BORDER_CONSTANT).
-        x0_ok = ((sx >= 0) & (sx <= w_in - 1)).astype(jnp.float32)
-        x1_ok = ((sx >= -1) & (sx + 1 <= w_in - 1)).astype(jnp.float32)
-        y0_ok = ((sy >= 0) & (sy <= h_in - 1)).astype(jnp.float32)
-        y1_ok = ((sy >= -1) & (sy + 1 <= h_in - 1)).astype(jnp.float32)
+        x_ok = tuple(
+            ((sx + k0 + k >= 0) & (sx + k0 + k <= w_in - 1)).astype(
+                jnp.float32)
+            for k in range(ntx)
+        )
+        y_ok = tuple(
+            ((sy + k0 + j >= 0) & (sy + k0 + j <= h_in - 1)).astype(
+                jnp.float32)
+            for j in range(nty)
+        )
 
         # 128-column source window: 256-wide aligned slice + lane roll.
-        # The window effectively covers source columns [c1-1, c1+126]
-        # (the selection field is keyed on sx_rel + 1, see below), so
-        # the right clip is w_pad - 127, keeping the last column
+        # The window starts at the block's leftmost tap column (k0
+        # shifts it for cubic); the right clip keeps the last column
         # selectable.
-        c1 = jnp.minimum(jnp.clip(jnp.min(sx), 0, None), w_pad - 127)
+        c1 = jnp.minimum(jnp.clip(jnp.min(sx) + k0, 0, None),
+                         w_pad - 127)
         c_al = jnp.minimum((c1 // 128) * 128, w_pad - 256)
         c_al = pl.multiple_of(c_al, 128)
         d = c1 - c_al
 
         # Vertical window: 8-aligned minimum of the clipped tap rows.
-        syc = jnp.clip(sy, 0, h_in - 1)
+        syc = jnp.clip(sy + k0, 0, h_in - 1)
         if stream:
             r0 = jnp.minimum((jnp.min(syc) // 8) * 8, h_in - rh)
             r0 = jnp.maximum(r0, r0_row)
@@ -382,20 +420,17 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
 
         sx_rel = sx - c1
         sy_rel = sy - r0
-        # Two 0/1 selection fields on the one band: G0 keys the sx tap
-        # (sx_rel >= 0 for every in-image tap0; sx_rel = -1 at the
-        # left edge simply matches nothing, and that tap's weight is
-        # already zeroed), G1 keys the sx+1 tap at sx_rel + 1 <= 127.
-        # The window's +3 span margin keeps the roll's wrap column
-        # unselectable by either field.
-        G0 = (cc == sx_rel).astype(fdt)
-        G1 = None if nearest else (cc == sx_rel + 1).astype(fdt)
+        # One 0/1 selection field per x tap on the one band (keys
+        # sx_rel + k0 + k; an out-of-window key — e.g. sx_rel = -1 at
+        # the left edge — simply matches nothing, and that tap's
+        # weight is already zeroed).  The window's span margin keeps
+        # the roll's wrap column unselectable by every field.
+        Gs = [(cc == sx_rel + k0 + k).astype(fdt) for k in range(ntx)]
 
         if u8:
             bb = band.astype(fdt)  # u8-derived i32: exact in bf16
-            p0 = jnp.dot(bb, G0, preferred_element_type=jnp.float32)
-            p1 = None if nearest else jnp.dot(
-                bb, G1, preferred_element_type=jnp.float32)
+            ps = [jnp.dot(bb, g, preferred_element_type=jnp.float32)
+                  for g in Gs]
         elif nearest:
             # Single-tap copy semantics must be EXACT: three-term bf16
             # split (8+8+8 bits covers f32's 24-bit significand).
@@ -403,47 +438,49 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
             r1 = band - bh.astype(jnp.float32)
             bm = r1.astype(fdt)
             bl = (r1 - bm.astype(jnp.float32)).astype(fdt)
-            p0 = jnp.dot(bh, G0, preferred_element_type=jnp.float32)
-            p0 += jnp.dot(bm, G0, preferred_element_type=jnp.float32)
-            p0 += jnp.dot(bl, G0, preferred_element_type=jnp.float32)
-            p1 = None
+            p0 = jnp.dot(bh, Gs[0], preferred_element_type=jnp.float32)
+            p0 += jnp.dot(bm, Gs[0], preferred_element_type=jnp.float32)
+            p0 += jnp.dot(bl, Gs[0], preferred_element_type=jnp.float32)
+            ps = [p0]
         else:
             # Two-term bf16 split (~16 of 24 mantissa bits — exact for
             # u8/f16-derived values, ~2^-16 relative otherwise; see
             # module docstring).  Two bf16 passes per field.
             bh = band.astype(fdt)
             bl = (band - bh.astype(jnp.float32)).astype(fdt)
-            p0 = jnp.dot(bh, G0, preferred_element_type=jnp.float32)
-            p0 += jnp.dot(bl, G0, preferred_element_type=jnp.float32)
-            p1 = jnp.dot(bh, G1, preferred_element_type=jnp.float32)
-            p1 += jnp.dot(bl, G1, preferred_element_type=jnp.float32)
+            ps = [
+                jnp.dot(bh, g, preferred_element_type=jnp.float32)
+                + jnp.dot(bl, g, preferred_element_type=jnp.float32)
+                for g in Gs
+            ]
 
-        wx0v = wx0 * x0_ok
-        wx1v = wx1 * x1_ok
-        wy0v = wy0 * y0_ok
-        wy1v = wy1 * y1_ok
-        wsum = (wx0 * x0_ok + wx1 * x1_ok) * (wy0 * y0_ok + wy1 * y1_ok)
+        wxv = [wx[k] * x_ok[k] for k in range(ntx)]
+        wsum = sum(wxv) * sum(wy[j] * y_ok[j] for j in range(nty))
         backfill = (1.0 - wsum) * jnp.float32(bv)
 
-        # Vertical 2-tap select as one iota-compare weight field —
+        # Vertical tap select as one iota-compare weight field —
         # shared by every channel; one VPU multiply+reduce per channel.
-        wv = jnp.where(dd == sy_rel, wy0v, 0.0)
-        if not nearest:
-            wv = wv + jnp.where(dd == sy_rel + 1, wy1v, 0.0)
+        wv = jnp.where(dd == sy_rel + k0, wy[0] * y_ok[0], 0.0)
+        for j in range(1, nty):
+            wv = wv + jnp.where(dd == sy_rel + k0 + j,
+                                wy[j] * y_ok[j], 0.0)
 
         for ci in range(cs):
             rs = slice(ci * rh, (ci + 1) * rh)
             # x weights applied AFTER the vertical reduce (they are
-            # constant over dd): 4 instead of 5 rh-extent VPU passes.
-            s0 = jnp.sum(wv * p0[rs], axis=0, keepdims=True)
-            if nearest:
-                acc = wx0v * s0 + backfill
-            else:
-                s1 = jnp.sum(wv * p1[rs], axis=0, keepdims=True)
-                acc = wx0v * s0 + wx1v * s1 + backfill
+            # constant over dd).
+            acc = backfill
+            for k in range(ntx):
+                sk = jnp.sum(wv * ps[k][rs], axis=0, keepdims=True)
+                acc = acc + wxv[k] * sk
             if u8:
-                # Q22 truncation; no direct f32->u8 cast on Mosaic.
-                acc = jnp.clip(jnp.floor(acc + 1e-4), 0, 255)
+                if cubic or nearest:
+                    # No vacv fixed-point path for these modes: match
+                    # the jnp route's OpenCV-style half-up rounding.
+                    acc = jnp.clip(jnp.floor(acc + 0.5), 0, 255)
+                else:
+                    # Q22 truncation; no direct f32->u8 cast on Mosaic.
+                    acc = jnp.clip(jnp.floor(acc + 1e-4), 0, 255)
                 acc = acc.astype(jnp.int32).astype(jnp.uint8)
             for trow in range(t):
                 out_ref[ci, trow, b * lb : (b + 1) * lb] = acc[
@@ -454,14 +491,14 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "h_out", "w_out", "u8", "bv", "interpret",
-                     "allow_stream", "nearest"),
+                     "allow_stream", "interp"),
 )
 def _call(planes, *, m, h_out, w_out, u8, bv, interpret, allow_stream,
-          nearest=False):
+          interp="linear"):
     c, h_in, w_in = planes.shape
     itemsize = 1 if u8 else 4
     plan = _plan(np.asarray(m).reshape(2, 3), c, h_in, w_in, h_out,
-                 w_out, itemsize, allow_stream)
+                 w_out, itemsize, allow_stream, interp)
     t, lb, rh = plan["t"], plan["lb"], plan["rh"]
     nb, wp, cs = plan["nb"], plan["wp"], plan["cs"]
     h_pad, w_pad, rbh = plan["h_pad"], plan["w_pad"], plan["rbh"]
@@ -477,7 +514,7 @@ def _call(planes, *, m, h_out, w_out, u8, bv, interpret, allow_stream,
     kernel = functools.partial(
         _kernel, m=m, h_in=h_in, w_in=w_in, t=t, lb=lb, rh=rh, nb=nb,
         cs=cs, h_pad=h_pad, w_pad=w_pad, rbh=rbh, u8=u8, bv=bv, ns=ns,
-        nearest=nearest,
+        interp=interp,
     )
     dtype = jnp.uint8 if u8 else jnp.float32
     if stream:
@@ -513,18 +550,23 @@ def _call(planes, *, m, h_out, w_out, u8, bv, interpret, allow_stream,
 
 
 def warp_affine_pallas(planes, minv, h_out: int, w_out: int, *, u8: bool,
-                       border_value: float, nearest: bool = False):
+                       border_value: float, interp: str = "linear",
+                       nearest: bool = False):
     """Warp (c, h, w) planes (u8 or f32) with inverse matrix ``minv``.
 
     Returns (c, h_out, w_out) in the input's dtype (u8 via Q22
-    truncation).  ``nearest`` selects single-tap INTER_NEAREST
-    sampling (exact — 3-term bf16 split for f32).  Caller must have
-    checked ``warp_supported``.
+    truncation for linear; OpenCV half-up rounding for nearest/cubic,
+    matching the jnp route).  ``interp``: "linear" | "nearest"
+    (single-tap, exact — 3-term bf16 split for f32) | "cubic" (4x4
+    A=-0.75 taps).  Caller must have checked ``warp_supported`` with
+    the same ``interp``.
     """
+    if nearest:  # legacy bool form
+        interp = "nearest"
     m = tuple(float(v) for v in np.asarray(minv, np.float32).ravel())
     config.record_kernel("warp_affine")
     return _call(
         planes, m=m, h_out=h_out, w_out=w_out, u8=u8,
         bv=float(border_value), interpret=config.pallas_interpret(),
-        allow_stream=not under_vmap(planes), nearest=nearest,
+        allow_stream=not under_vmap(planes), interp=interp,
     )

@@ -122,7 +122,7 @@ _PAD_MODES = {
 }
 
 
-def _border_pad_plan(minv, h_in, w_in, h_out, w_out):
+def _border_pad_plan(minv, h_in, w_in, h_out, w_out, cubic=False):
     """Per-side source pads (top, bottom, left, right) that bring every
     bilinear/nearest tap of the output grid in-bounds, or None.
 
@@ -137,11 +137,13 @@ def _border_pad_plan(minv, h_in, w_in, h_out, w_out):
     ys = np.array([0.0, h_out - 1.0])
     cx = np.array([m[0, 0] * x + m[0, 1] * y + m[0, 2] for x in xs for y in ys])
     cy = np.array([m[1, 0] * x + m[1, 1] * y + m[1, 2] for x in xs for y in ys])
-    # Tap range: floor(f) .. floor(f)+1, +1 margin for nearest rounding.
-    sx_min = int(np.floor(cx.min()))
-    sx_max = int(np.floor(cx.max())) + 1
-    sy_min = int(np.floor(cy.min()))
-    sy_max = int(np.floor(cy.max())) + 1
+    # Tap range: floor(f) .. floor(f)+1, +1 margin for nearest
+    # rounding; cubic reaches one column/row further on each side.
+    ext = 1 if cubic else 0
+    sx_min = int(np.floor(cx.min())) - ext
+    sx_max = int(np.floor(cx.max())) + 1 + ext
+    sy_min = int(np.floor(cy.min())) - ext
+    sy_max = int(np.floor(cy.max())) + 1 + ext
     pl_ = max(0, -sx_min)
     pr = max(0, sx_max - (w_in - 1))
     pt = max(0, -sy_min)
@@ -344,17 +346,21 @@ def warp_affine(
     else:
         planes = data
 
-    # Fast path: the gather-free pallas kernel (TPU; exact bilinear or
-    # nearest, u8 or f32).  CONSTANT borders run the kernel directly;
-    # the coordinate-remap modes (REPLICATE/REFLECT/REFLECT_101/WRAP)
-    # run it on a border-rule-padded source with a translated matrix
-    # (static overshoot from the affine corner extremes); the vacv
-    # skip-edge semantics are an output-grid post-mask.  Only
-    # INTER_CUBIC remains on the XLA gather.
+    # Fast path: the gather-free pallas kernel (TPU; bilinear, nearest
+    # or 4x4 A=-0.75 cubic, u8 or f32).  CONSTANT borders run the
+    # kernel directly; the coordinate-remap modes (REPLICATE/REFLECT/
+    # REFLECT_101/WRAP) run it on a border-rule-padded source with a
+    # translated matrix (static overshoot from the affine corner
+    # extremes); the vacv skip-edge semantics are an output-grid
+    # post-mask (linear only, matching the reference).  The XLA gather
+    # remains the fallback for unplannable geometries.
     use_kernel = False
     pad_plan = None
+    _KINTERP = {InterMode.INTER_LINEAR: "linear",
+                InterMode.INTER_NEAREST: "nearest",
+                InterMode.INTER_CUBIC: "cubic"}
     if (
-        interp in (InterMode.INTER_LINEAR, InterMode.INTER_NEAREST)
+        interp in _KINTERP
         and data.dtype in (jnp.uint8, jnp.float32)
         and (border_mode == BorderMode.BORDER_CONSTANT
              or border_mode in _PAD_MODES)
@@ -366,7 +372,9 @@ def warp_affine(
 
         h_k, w_k = planes.shape[-2], planes.shape[-1]
         if border_mode in _PAD_MODES:
-            pad_plan = _border_pad_plan(minv, h_k, w_k, dsize.h, dsize.w)
+            pad_plan = _border_pad_plan(
+                minv, h_k, w_k, dsize.h, dsize.w,
+                cubic=interp == InterMode.INTER_CUBIC)
             if pad_plan is not None:
                 pt, pb, pl_, pr = pad_plan
                 h_k, w_k = h_k + pt + pb, w_k + pl_ + pr
@@ -378,6 +386,7 @@ def warp_affine(
                 minv, h_k, w_k, data.dtype.itemsize,
                 w_out=dsize.w, h_out=dsize.h, c=planes.shape[0],
                 allow_stream=not under_vmap(planes),
+                interp=_KINTERP[interp],
             )
         ):
             use_kernel = True
@@ -396,7 +405,7 @@ def warp_affine(
             kminv = kminv.astype(np.float32)
         out = warp_affine_pallas(
             kplanes, kminv, dsize.h, dsize.w, u8=is_u8, border_value=bv,
-            nearest=interp == InterMode.INTER_NEAREST,
+            interp=_KINTERP[interp],
         )
         # The vacv skip-edge semantics are defined by the reference's
         # native LINEAR kernel (warp_affine_naive.cpp:26-38); its
