@@ -452,6 +452,19 @@ def build_tests(sizes):
                 borderMode=cv2.BORDER_REPLICATE), wr_step, (srcj,)),
         ))
 
+        def wc_step(i, b, mm=m):
+            win = lax.dynamic_slice(b, (8 * (i % 2), 0, 0), (1072, 1920, 3))
+            return vc.warp_affine(
+                vc.Image(win, Layout.HWC), mm, (960, 536),
+                flags=vc.INTER_CUBIC).data
+
+        tests.append(TestFuncInfo(
+            "warp_cubic_1920x1080",
+            _pair(lambda s=src, mm=m: cv2.warpAffine(
+                s[:1072], mm.astype(np.float64), (960, 536),
+                flags=cv2.INTER_CUBIC), wc_step, (srcj,)),
+        ))
+
     # ---- fused NV camera rows at 720p/1080p/1440p (VERDICT item 4) --
     import os
     import sys
