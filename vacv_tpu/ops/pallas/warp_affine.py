@@ -87,6 +87,28 @@ _BAND_BUDGET = 10 * 1024 * 1024
 # per-strip field math over 2× the output; rh grows by |m4|·8 only.
 # t=8 remains the fallback for tiny outputs and rh-capped matrices.
 _T_CANDIDATES = (16, 8)
+# A/B selector for the round-5 u8 fast-path experiments (subprocess
+# benchmarking; see benchmarks/warp_ab.py):
+#   "int"      — i8 digit dots + integer vertical + >>22 epilogue
+#   "inthf32"  — i8 digit dots, f32 vertical (H <= 2^20 is f32-exact)
+#   "foldbf16" — Q11 weights folded into bf16 hi/lo fields (exact),
+#                f32 vertical; no integer VPU ops
+#   "pair"     — per-tap 0/1 fields (round-4 structure; measured
+#                fastest on device — the folded forms pay more in
+#                field construction than they save in dots/vertical)
+_VARIANT = __import__("os").environ.get("VACV_WARP_VARIANT", "pair")
+# Output store strategy (see the store-stage comment in _kernel):
+#   "i32rows"  — u8 rows stored as i32 (clean (8,128) DMA tiles and
+#                4x coarser store masking than u8's (32,128)), cast
+#                to u8 by XLA outside the kernel; measured ~15%
+#                faster end to end than "rows" (warp_store_ab.py);
+#                f32 outputs are unaffected by this mode
+#   "rows"     — round-4 per-(trow, block) masked stores
+#   "flat"/"flati32"/"rev8" — measured dead ends, kept for probes:
+#                flat-lane blocks kill the copy-out DMA (1-sublane
+#                tiles) and rev8's dynamic-sublane store + revisit
+#                overhead loses to plain rows
+_STORE = __import__("os").environ.get("VACV_WARP_STORE", "i32rows")
 _T = 8          # minimum strip height (and the sublane-alignment unit)
 _KW = 128       # selection-dot contraction width (source window)
 _RH_CAP = 120   # max band rows per lane-block (dot M-height = cs*rh)
@@ -123,8 +145,9 @@ def _spans(minv, t, lb):
 
 def _pick_lb(minv, t=_T, interp="linear"):
     """Largest lane-block width whose taps fit the 128-column window
-    (cubic spans 3 more columns: taps sx-1..sx+2, window start -1)."""
-    margin = 6 if interp == "cubic" else 3
+    (cubic spans 3 more columns: taps sx-1..sx+2, window start -1;
+    +2 everywhere for the round-5 scalar corner-evaluation guard)."""
+    margin = 8 if interp == "cubic" else 5
     for lb in (128, 64, 32, 16):
         xs, _ = _spans(minv, t, lb)
         if xs + margin <= 126:
@@ -134,7 +157,7 @@ def _pick_lb(minv, t=_T, interp="linear"):
 
 def _rh(minv, t, lb, interp="linear"):
     _, ys = _spans(minv, t, lb)
-    return _round_up(ys + (13 if interp == "cubic" else 10), 8)
+    return _round_up(ys + (15 if interp == "cubic" else 12), 8)
 
 
 def _row_band_height(minv, t, wp, rh, h_in, interp="linear"):
@@ -143,7 +166,7 @@ def _row_band_height(minv, t, wp, rh, h_in, interp="linear"):
     cubic taps reach one row above / two below the linear span)."""
     m = np.abs(np.asarray(minv, np.float64)).ravel()
     span = int(np.ceil(m[3] * (wp - 1) + m[4] * (t - 1)))
-    slack = 14 if interp == "cubic" else 11
+    slack = 16 if interp == "cubic" else 13
     return min(_round_up(span + slack, 8) + rh + 8, h_in)
 
 
@@ -261,6 +284,24 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
             h_pad, w_pad, rbh, u8, bv, ns, interp):
     nearest = interp == "nearest"
     cubic = interp == "cubic"
+    # Round-5 integer path (u8 linear/nearest): the Q11 tap weights are
+    # folded INTO the selection fields as int8 digit pairs
+    # (hi = wq >> 6 in [0,32], lo = wq & 63 — both fit i8), so the two
+    # per-tap bf16 selection dots become two int8 digit dots covering
+    # BOTH taps (v5e MXU int8 runs 1.4-2x the bf16 rate, probe_i8.py),
+    # and the vertical stage reduces ONE field-weighted plane instead
+    # of one per tap.  H = sum_k wq_k*p_k is exact in i32 (<= 2^20);
+    # the vertical Q11 reduce stays integer (<= 2048*522240 < 2^31)
+    # and the write-out is the reference's own `>> 22` truncation
+    # (warp_affine_naive.cpp:50-54) — bit-exact fixed-point, no f32
+    # rounding anywhere past the coordinate math.  Requires an integer
+    # border value; fractional bv falls back to the f32 epilogue.
+    u8lin = u8 and not cubic
+    int_h = u8lin and _VARIANT in ("int", "inthf32")
+    int_v = (int_h and _VARIANT == "int" and float(bv).is_integer()
+             and 0.0 <= float(bv) <= 255.0)
+    fold = u8lin and _VARIANT == "foldbf16" and not nearest
+    bvq = int(bv) if int_v else 0
     stream = rbh > 0
     s = pl.program_id(1)
     m0, m1, m2, m3, m4, m5 = (jnp.float32(v) for v in m)
@@ -276,7 +317,7 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
         rmin = jnp.floor(
             jnp.minimum(jnp.minimum(cor[0], cor[1]),
                         jnp.minimum(cor[2], cor[3]))
-        ).astype(jnp.int32)
+        ).astype(jnp.int32) - 1  # 1-ulp guard vs the per-lane fy eval
         if cubic:
             rmin = rmin - 1  # cubic taps reach one row above floor(fy)
         r = jnp.minimum((jnp.clip(rmin, 0, None) // 8) * 8, h_in - rbh)
@@ -308,93 +349,157 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
         dma(step % 2, step).wait()
         r0_row = strip_r0row(s)
 
-    # ---- per lane-block work (static unroll) -------------------------
-    jc = jax.lax.broadcasted_iota(jnp.int32, (1, t * lb), 1)
+    # ---- strip-wide coordinate plane (hoisted; round 5) --------------
+    # Round-4 ran the whole coordinate/weight chain per lane-block on
+    # (1, t*lb) vectors — ~35 serial VPU ops at 1/8 sublane utilization,
+    # nb times per strip.  The ablation probe (warp_probe5.py) showed
+    # this chain was 78% of the kernel (0.185 of 0.236 ms at the 1080p
+    # ladder row) while the selection dots were ~0.02 ms.  The chain is
+    # identical math for every block, so it now runs ONCE per strip on
+    # (nb, t*lb) arrays (full sublanes, one dependency chain); blocks
+    # slice out their row.
+    #
+    # NOTE on determinism: under interpret mode XLA:CPU lowers this
+    # with fast-math FMA contraction at the LLVM level (HLO
+    # optimization_barrier does not reach it), so a vmapped and a
+    # plain evaluation can differ by 1 ulp of fx — which flips a
+    # Q11 weight when (1-ax)*2048 lands exactly on a half step.
+    # On device, Mosaic compiles one deterministic program for
+    # both (vmap only adds a grid dimension).
+    bi = jax.lax.broadcasted_iota(jnp.int32, (nb, t * lb), 0)
+    jc = jax.lax.broadcasted_iota(jnp.int32, (nb, t * lb), 1)
     trow_f = (jc // lb).astype(jnp.float32)
-    lane_f = (jc % lb).astype(jnp.float32)
+    lane_f = ((bi * lb) + (jc % lb)).astype(jnp.float32)
     dy = (s * t).astype(jnp.float32) + trow_f
     dd = jax.lax.broadcasted_iota(jnp.int32, (rh, t * lb), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (_KW, t * lb), 0)
     fdt = jnp.bfloat16
 
-    for b in range(nb):
-        # NOTE on determinism: under interpret mode XLA:CPU lowers this
-        # with fast-math FMA contraction at the LLVM level (HLO
-        # optimization_barrier does not reach it), so a vmapped and a
-        # plain evaluation can differ by 1 ulp of fx — which flips a
-        # Q11 weight when (1-ax)*2048 lands exactly on a half step.
-        # On device, Mosaic compiles one deterministic program for
-        # both (vmap only adds a grid dimension).
-        dx = jnp.float32(b * lb) + lane_f
-        fx = jnp.clip(m0 * dx + m1 * dy + m2, -1e6, 1e6)
-        fy = jnp.clip(m3 * dx + m4 * dy + m5, -1e6, 1e6)
+    fx = jnp.clip(m0 * lane_f + m1 * dy + m2, -1e6, 1e6)
+    fy = jnp.clip(m3 * lane_f + m4 * dy + m5, -1e6, 1e6)
 
-        # Anchor the fractional weights to the floored integer coords —
-        # XLA may materialize fx/fy twice with different FMA
-        # contraction, and an inconsistent (sy, ay) pair around integer
-        # boundaries selects the wrong source row outright.
-        if nearest:
-            # Single-tap: round half-up like OpenCV's fixed-point
-            # (X0 + 512) >> 10 nearest warp; degenerate 1-tap weights.
-            sx = jnp.floor(fx + 0.5).astype(jnp.int32)
-            sy = jnp.floor(fy + 0.5).astype(jnp.int32)
-            wx = wy = (jnp.float32(1.0),)
-            k0 = 0
-        elif cubic:
-            # 4x4 A=-0.75 taps at sx-1..sx+2 / sy-1..sy+2 (k0 = -1).
-            sx = jnp.floor(fx).astype(jnp.int32)
-            sy = jnp.floor(fy).astype(jnp.int32)
-            ax = jnp.clip(fx - sx.astype(jnp.float32), 0.0, 1.0)
-            ay = jnp.clip(fy - sy.astype(jnp.float32), 0.0, 1.0)
-            wx = _cubic_coefs(ax)
-            wy = _cubic_coefs(ay)
-            k0 = -1
+    # Anchor the fractional weights to the floored integer coords —
+    # XLA may materialize fx/fy twice with different FMA contraction,
+    # and an inconsistent (sy, ay) pair around integer boundaries
+    # selects the wrong source row outright.
+    if nearest:
+        # Single-tap: round half-up like OpenCV's fixed-point
+        # (X0 + 512) >> 10 nearest warp; degenerate 1-tap weights.
+        sx = jnp.floor(fx + 0.5).astype(jnp.int32)
+        sy = jnp.floor(fy + 0.5).astype(jnp.int32)
+        wx = wy = (jnp.float32(1.0),)
+        k0 = 0
+    elif cubic:
+        # 4x4 A=-0.75 taps at sx-1..sx+2 / sy-1..sy+2 (k0 = -1).
+        sx = jnp.floor(fx).astype(jnp.int32)
+        sy = jnp.floor(fy).astype(jnp.int32)
+        ax = jnp.clip(fx - sx.astype(jnp.float32), 0.0, 1.0)
+        ay = jnp.clip(fy - sy.astype(jnp.float32), 0.0, 1.0)
+        wx = _cubic_coefs(ax)
+        wy = _cubic_coefs(ay)
+        k0 = -1
+    else:
+        sx = jnp.floor(fx).astype(jnp.int32)
+        sy = jnp.floor(fy).astype(jnp.int32)
+        ax = jnp.clip(fx - sx.astype(jnp.float32), 0.0, 1.0)
+        ay = jnp.clip(fy - sy.astype(jnp.float32), 0.0, 1.0)
+        if u8:
+            wx0 = _quantize_q11(1.0 - ax)
+            wy0 = _quantize_q11(1.0 - ay)
         else:
-            sx = jnp.floor(fx).astype(jnp.int32)
-            sy = jnp.floor(fy).astype(jnp.int32)
-            ax = jnp.clip(fx - sx.astype(jnp.float32), 0.0, 1.0)
-            ay = jnp.clip(fy - sy.astype(jnp.float32), 0.0, 1.0)
-            if u8:
-                wx0 = _quantize_q11(1.0 - ax)
-                wy0 = _quantize_q11(1.0 - ay)
-            else:
-                wx0, wy0 = 1.0 - ax, 1.0 - ay
-            wx = (wx0, 1.0 - wx0)
-            wy = (wy0, 1.0 - wy0)
-            k0 = 0
+            wx0, wy0 = 1.0 - ax, 1.0 - ay
+        wx = (wx0, 1.0 - wx0)
+        wy = (wy0, 1.0 - wy0)
+        k0 = 0
 
-        ntx, nty = len(wx), len(wy)
-        # Per-tap image-bounds validity (OpenCV BORDER_CONSTANT).
-        x_ok = tuple(
-            ((sx + k0 + k >= 0) & (sx + k0 + k <= w_in - 1)).astype(
-                jnp.float32)
-            for k in range(ntx)
-        )
-        y_ok = tuple(
-            ((sy + k0 + j >= 0) & (sy + k0 + j <= h_in - 1)).astype(
-                jnp.float32)
-            for j in range(nty)
-        )
+    ntx, nty = len(wx), len(wy)
+    # Per-tap image-bounds validity (OpenCV BORDER_CONSTANT).
+    okdt = jnp.int32 if int_h else jnp.float32
+    x_ok = tuple(
+        ((sx + k0 + k >= 0) & (sx + k0 + k <= w_in - 1)).astype(okdt)
+        for k in range(ntx)
+    )
+    y_ok = tuple(
+        ((sy + k0 + j >= 0) & (sy + k0 + j <= h_in - 1)).astype(okdt)
+        for j in range(nty)
+    )
+    if int_h and not nearest:
+        # Q11 integer weights, identical to the f32-dyadic
+        # _quantize_q11 grid (wq = floor(w*2048 + 0.5)).
+        wqx0 = jnp.floor((1.0 - ax) * _COEF_SCALE + 0.5).astype(
+            jnp.int32)
+        wqx = (wqx0, 2048 - wqx0)
+        wqy0 = jnp.floor((1.0 - ay) * _COEF_SCALE + 0.5).astype(
+            jnp.int32)
+        wqy = (wqy0, 2048 - wqy0)
 
-        # 128-column source window: 256-wide aligned slice + lane roll.
-        # The window starts at the block's leftmost tap column (k0
-        # shifts it for cubic); the right clip keeps the last column
-        # selectable.
-        c1 = jnp.minimum(jnp.clip(jnp.min(sx) + k0, 0, None),
-                         w_pad - 127)
+    # Hoisted weight*validity products and border terms (per strip).
+    if int_h and not nearest:
+        wqe_all = [wqx[k] * x_ok[k] for k in range(2)]
+    if int_v:
+        if nearest:
+            okq_all = x_ok[0] * y_ok[0]
+        else:
+            wqye_all = [wqy[j] * y_ok[j] for j in range(2)]
+            if bvq:
+                bfq_all = ((1 << 22)
+                           - (wqe_all[0] + wqe_all[1])
+                           * (wqye_all[0] + wqye_all[1])) * bvq
+    else:
+        wxv_all = [wx[k] * x_ok[k] for k in range(ntx)]
+        wyv_all = [wy[j] * y_ok[j] for j in range(nty)]
+        wsum = sum(wxv_all) * sum(wyv_all)
+        backfill_all = (1.0 - wsum) * jnp.float32(bv)
+
+    def _row(a):
+        """Slice a hoisted (nb, t*lb) plane down to block b's row (the
+        enclosing loop binds ``_b``); scalar weights pass through."""
+        return a[_b : _b + 1] if getattr(a, "ndim", 0) == 2 else a
+
+    # Per-block source windows from the affine map's corner extremes —
+    # scalar math on the scalar unit, replacing the round-4 per-block
+    # lane min-reductions.  The -1 guard absorbs any 1-ulp disagreement
+    # between this scalar corner evaluation and the vectorized per-lane
+    # fx/fy (same expression, possibly different FMA contraction); the
+    # planner's widened margins (round 5) account for it.
+    y0c = (s * t).astype(jnp.float32)
+    y1c = y0c + jnp.float32(t - 1)
+    half = 0.5 if nearest else 0.0
+
+    def _windows(b):
+        x0c = jnp.float32(b * lb)
+        x1c = jnp.float32(b * lb + lb - 1)
+        fxc = [jnp.clip(m0 * xx + m1 * yy + m2 + half, -1e6, 1e6)
+               for xx in (x0c, x1c) for yy in (y0c, y1c)]
+        fyc = [jnp.clip(m3 * xx + m4 * yy + m5 + half, -1e6, 1e6)
+               for xx in (x0c, x1c) for yy in (y0c, y1c)]
+        sxm = jnp.floor(
+            jnp.minimum(jnp.minimum(fxc[0], fxc[1]),
+                        jnp.minimum(fxc[2], fxc[3]))
+        ).astype(jnp.int32) - 1
+        sym = jnp.floor(
+            jnp.minimum(jnp.minimum(fyc[0], fyc[1]),
+                        jnp.minimum(fyc[2], fyc[3]))
+        ).astype(jnp.int32) - 1
+        c1 = jnp.minimum(jnp.maximum(sxm + k0, 0), w_pad - 127)
         c_al = jnp.minimum((c1 // 128) * 128, w_pad - 256)
         c_al = pl.multiple_of(c_al, 128)
         d = c1 - c_al
-
-        # Vertical window: 8-aligned minimum of the clipped tap rows.
-        syc = jnp.clip(sy + k0, 0, h_in - 1)
+        syc_min = jnp.clip(sym + k0, 0, h_in - 1)
         if stream:
-            r0 = jnp.minimum((jnp.min(syc) // 8) * 8, h_in - rh)
+            r0 = jnp.minimum((syc_min // 8) * 8, h_in - rh)
             r0 = jnp.maximum(r0, r0_row)
             off = pl.multiple_of(r0 - r0_row, 8)
         else:
-            r0 = jnp.minimum((jnp.min(syc) // 8) * 8, h_pad - rh)
+            r0 = jnp.minimum((syc_min // 8) * 8, h_pad - rh)
             r0 = pl.multiple_of(r0, 8)
+            off = None
+        return c1, c_al, d, r0, off
+
+    accs = [[] for _ in range(cs)]
+    for _b in range(nb):
+        b = _b
+        c1, c_al, d, r0, off = _windows(b)
 
         def load(ci):
             if stream:
@@ -418,16 +523,73 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
         # f32.
         band = pltpu.roll(band256, (256 - d) % 256, 1)[:, :_KW]
 
-        sx_rel = sx - c1
-        sy_rel = sy - r0
+        sx_rel = _row(sx) - c1
+        sy_rel = _row(sy) - r0
         # One 0/1 selection field per x tap on the one band (keys
         # sx_rel + k0 + k; an out-of-window key — e.g. sx_rel = -1 at
         # the left edge — simply matches nothing, and that tap's
         # weight is already zeroed).  The window's span margin keeps
         # the roll's wrap column unselectable by every field.
-        Gs = [(cc == sx_rel + k0 + k).astype(fdt) for k in range(ntx)]
-
-        if u8:
+        if int_h:
+            # Integer digit dots (see the int_path note above): the
+            # band is offset to i8 range (the -128 shift is corrected
+            # exactly through the fields' column sums), the Q11 weights
+            # ride the fields as hi/lo int8 digits, and H comes out as
+            # the EXACT i32 weighted horizontal lerp sum_k wq_k*p_k.
+            band_i8 = (band - 128).astype(jnp.int8)
+            if nearest:
+                xo0 = _row(x_ok[0])
+                F0 = jnp.where(cc == sx_rel, xo0, 0).astype(jnp.int8)
+                H = (
+                    jnp.dot(band_i8, F0,
+                            preferred_element_type=jnp.int32)
+                    + 128 * xo0
+                )
+            else:
+                wqe = [_row(w) for w in wqe_all]
+                Fhi = (
+                    jnp.where(cc == sx_rel, wqe[0] >> 6, 0)
+                    + jnp.where(cc == sx_rel + 1, wqe[1] >> 6, 0)
+                ).astype(jnp.int8)
+                Flo = (
+                    jnp.where(cc == sx_rel, wqe[0] & 63, 0)
+                    + jnp.where(cc == sx_rel + 1, wqe[1] & 63, 0)
+                ).astype(jnp.int8)
+                dhi = jnp.dot(band_i8, Fhi,
+                              preferred_element_type=jnp.int32)
+                dlo = jnp.dot(band_i8, Flo,
+                              preferred_element_type=jnp.int32)
+                H = (dhi << 6) + dlo + 128 * (wqe[0] + wqe[1])
+            if not int_v:
+                # H <= 255*2048*2 < 2^24: the f32 image of the exact
+                # integer lerp loses nothing; vertical stays f32.
+                Hf = H.astype(jnp.float32) * (
+                    jnp.float32(1.0) if nearest
+                    else jnp.float32(1.0 / 2048.0))
+        elif fold:
+            # Q11 weights folded into the selection fields as bf16
+            # hi/lo halves: an 11-significant-bit dyadic splits EXACTLY
+            # into two bf16 terms (top 8 + bottom 3 bits), the u8 band
+            # is bf16-exact, and the dot accumulates in f32 below 2^20
+            # — so Hf is the exact Q11 horizontal lerp, from the same
+            # two bf16 dots the per-tap path spent on raw sums, while
+            # the vertical stage now reduces ONE plane instead of two.
+            wxe = [_row(w) for w in wxv_all]
+            F = jnp.where(cc == sx_rel, wxe[0], 0.0)
+            F = F + jnp.where(cc == sx_rel + 1, wxe[1], 0.0)
+            Fh = F.astype(fdt)
+            Fl = (F - Fh.astype(jnp.float32)).astype(fdt)
+            bb = band.astype(fdt)
+            Hf = (
+                jnp.dot(bb, Fh, preferred_element_type=jnp.float32)
+                + jnp.dot(bb, Fl, preferred_element_type=jnp.float32)
+            )
+        else:
+            Gs = [(cc == sx_rel + k0 + k).astype(fdt)
+                  for k in range(ntx)]
+        if int_h or fold:
+            pass
+        elif u8:
             bb = band.astype(fdt)  # u8-derived i32: exact in bf16
             ps = [jnp.dot(bb, g, preferred_element_type=jnp.float32)
                   for g in Gs]
@@ -454,38 +616,104 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
                 for g in Gs
             ]
 
-        wxv = [wx[k] * x_ok[k] for k in range(ntx)]
-        wsum = sum(wxv) * sum(wy[j] * y_ok[j] for j in range(nty))
-        backfill = (1.0 - wsum) * jnp.float32(bv)
+        if int_v:
+            # Integer vertical: one Q11 (Q0 for nearest) weight field,
+            # one i32 multiply+reduce per channel, `>> 22` truncation —
+            # the reference's exact fixed-point arithmetic
+            # (warp_affine_naive.cpp:50-54).  No overflow: V <=
+            # 2048 * 255*2048 < 2^31, and the border backfill term is
+            # complementary ((2^22 - wsum_q)*bv, total <= 255*2^22).
+            if nearest:
+                wvq = jnp.where(dd == sy_rel, _row(y_ok[0]), 0)
+                shift = 0
+                bfq = (1 - _row(okq_all)) * bvq if bvq else 0
+            else:
+                wqye = [_row(w) for w in wqye_all]
+                wvq = (jnp.where(dd == sy_rel, wqye[0], 0)
+                       + jnp.where(dd == sy_rel + 1, wqye[1], 0))
+                shift = 22
+                bfq = _row(bfq_all) if bvq else 0
+        else:
+            backfill = _row(backfill_all)
+            # Vertical tap select as one iota-compare weight field —
+            # shared by every channel; one VPU multiply+reduce per
+            # channel.
+            wv = jnp.where(dd == sy_rel + k0, _row(wyv_all[0]), 0.0)
+            for j in range(1, nty):
+                wv = wv + jnp.where(dd == sy_rel + k0 + j,
+                                    _row(wyv_all[j]), 0.0)
 
-        # Vertical tap select as one iota-compare weight field —
-        # shared by every channel; one VPU multiply+reduce per channel.
-        wv = jnp.where(dd == sy_rel + k0, wy[0] * y_ok[0], 0.0)
-        for j in range(1, nty):
-            wv = wv + jnp.where(dd == sy_rel + k0 + j,
-                                wy[j] * y_ok[j], 0.0)
-
+        u8out = u8 and _STORE not in ("i32rows", "rev8", "flati32")
         for ci in range(cs):
             rs = slice(ci * rh, (ci + 1) * rh)
-            # x weights applied AFTER the vertical reduce (they are
-            # constant over dd).
-            acc = backfill
-            for k in range(ntx):
-                sk = jnp.sum(wv * ps[k][rs], axis=0, keepdims=True)
-                acc = acc + wxv[k] * sk
-            if u8:
-                if cubic or nearest:
-                    # No vacv fixed-point path for these modes: match
-                    # the jnp route's OpenCV-style half-up rounding.
-                    acc = jnp.clip(jnp.floor(acc + 0.5), 0, 255)
-                else:
-                    # Q22 truncation; no direct f32->u8 cast on Mosaic.
-                    acc = jnp.clip(jnp.floor(acc + 1e-4), 0, 255)
-                acc = acc.astype(jnp.int32).astype(jnp.uint8)
-            for trow in range(t):
-                out_ref[ci, trow, b * lb : (b + 1) * lb] = acc[
-                    0, trow * lb : (trow + 1) * lb
-                ]
+            if int_v:
+                V = jnp.sum(wvq * H[rs], axis=0, keepdims=True)
+                acc = jnp.clip((V + bfq) >> shift if shift else V + bfq,
+                               0, 255)
+                if u8out:
+                    acc = acc.astype(jnp.uint8)
+            elif int_h or fold:
+                # x weights (and their Q11 scaling) are already inside
+                # Hf; one f32 multiply+reduce per channel.
+                acc = backfill + jnp.sum(wv * Hf[rs], axis=0,
+                                         keepdims=True)
+                acc = jnp.clip(
+                    jnp.floor(acc + (0.5 if nearest else 1e-4)), 0, 255
+                ).astype(jnp.int32)
+                if u8out:
+                    acc = acc.astype(jnp.uint8)
+            else:
+                # x weights applied AFTER the vertical reduce (they are
+                # constant over dd).
+                acc = backfill
+                for k in range(ntx):
+                    sk = jnp.sum(wv * ps[k][rs], axis=0, keepdims=True)
+                    acc = acc + _row(wxv_all[k]) * sk
+                if u8:
+                    if cubic or nearest:
+                        # No vacv fixed-point path for these modes:
+                        # match the jnp route's OpenCV-style half-up
+                        # rounding.
+                        acc = jnp.clip(jnp.floor(acc + 0.5), 0, 255)
+                    else:
+                        # Q22 truncation; no direct f32->u8 cast on
+                        # Mosaic.
+                        acc = jnp.clip(jnp.floor(acc + 1e-4), 0, 255)
+                    acc = acc.astype(jnp.int32)
+                    if u8out:
+                        acc = acc.astype(jnp.uint8)
+            if _STORE in ("flat", "flati32"):
+                # ONE full-lane store per channel-block; _call
+                # untangles the (nb, t) lane order with one XLA
+                # transpose.  (Loses on the out-block DMA: a
+                # (1, t*wp) block is sublane-masked end to end.)
+                out_ref[ci, 0, :, b * t * lb : (b + 1) * t * lb] = acc
+            elif _STORE == "rev8":
+                # ONE (1, t*lb) store per channel-block into a
+                # revisiting 8-strip block: full-lane store at a
+                # dynamic sublane row (s % 8), and the block's (8,
+                # t*wp) shape gives the copy-out DMA clean (8, 128)
+                # i32/f32 tiles.  _call untangles the lane order.
+                out_ref[ci, pl.ds(s % 8, 1),
+                        b * t * lb : (b + 1) * t * lb] = acc
+            else:
+                accs[ci].append(acc)
+
+    if _STORE not in ("flat", "flati32", "rev8"):
+        # Store stage (round 5).  The round-4 kernel stored t sub-lane
+        # (1, lb) slices per channel-block — 48 masked stores per
+        # block, measured at HALF the kernel runtime (warp_probe6.py
+        # onewrite: 0.222 -> 0.116 ms).  Stores run as a separate
+        # stage after the block loop so they never serialize with a
+        # block's compute chain.  (A lane-concat "pair" merge to
+        # 128-lane stores was tried and is unsupported by Mosaic:
+        # "result/input offset mismatch on non-concat dimension".)
+        for ci in range(cs):
+            for b0 in range(nb):
+                a = accs[ci][b0]
+                for trow in range(t):
+                    out_ref[ci, trow, b0 * lb : (b0 + 1) * lb] = a[
+                        0, trow * lb : (trow + 1) * lb]
 
 
 @functools.partial(
@@ -536,16 +764,35 @@ def _call(planes, *, m, h_out, w_out, u8, bv, interpret, allow_stream,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
+            (cs, 1, 1, t * wp), lambda ci, s: (ci, s, 0, 0),
+            memory_space=pltpu.VMEM,
+        ) if _STORE in ("flat", "flati32") else pl.BlockSpec(
+            (cs, 8, t * wp), lambda ci, s: (ci, s // 8, 0),
+            memory_space=pltpu.VMEM,
+        ) if _STORE == "rev8" else pl.BlockSpec(
             (cs, t, wp), lambda ci, s: (ci, s, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((c, ns * t, wp), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (c, ns, 1, t * wp) if _STORE in ("flat", "flati32")
+            else (c, pl.cdiv(ns, 8) * 8, t * wp) if _STORE == "rev8"
+            else (c, ns * t, wp),
+            jnp.int32 if u8 and _STORE in ("i32rows", "rev8", "flati32")
+            else dtype),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT
         ),
     )(planes)
+    if _STORE == "rev8":
+        out = out[:, :ns]
+    if _STORE in ("flat", "flati32", "rev8"):
+        # Untangle the (block, trow) lane order: one XLA transpose.
+        out = out.reshape(c, ns, nb, t, lb).transpose(0, 1, 3, 2, 4)
+        out = out.reshape(c, ns * t, wp)
+    if out.dtype != dtype:
+        out = out.astype(dtype)
     return out[:, :h_out, :w_out]
 
 
