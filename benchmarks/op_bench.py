@@ -82,11 +82,18 @@ def _pair(cv_fn, step_fn, dev_args, ref_for_cosine=None, iters=16):
         ref = cv_fn()
         cv_ms = (time.perf_counter() - t0) * 1e3
         sec = device_time(step_fn, *dev_args, iters=iters, base_iters=2)
-        if sec < 100e-6:
+        if sec < 150e-6:
             # µs-scale ops: a 16-iteration slope is dominated by the
             # tunnel's per-dispatch jitter (a 0.01 ms op can read as
-            # 0.06); re-measure with a long loop.
-            sec = device_time(step_fn, *dev_args, iters=256, base_iters=2)
+            # 0.06, and round-4's single 256-iter re-measure still
+            # shipped one 6x-inflated crop row) — take the min of the
+            # first read and two long-loop slopes.  min is the right
+            # statistic here: jitter only ever ADDS time.
+            sec = min(
+                sec,
+                device_time(step_fn, *dev_args, iters=256, base_iters=2),
+                device_time(step_fn, *dev_args, iters=256, base_iters=2),
+            )
         out = np.asarray(jax.jit(step_fn)(0, *dev_args))
         cmp_ref = ref if ref_for_cosine is None else ref_for_cosine
         cos = cosine_similarity(out, cmp_ref)
@@ -463,6 +470,35 @@ def build_tests(sizes):
             _pair(lambda s=src, mm=m: cv2.warpAffine(
                 s[:1072], mm.astype(np.float64), (960, 536),
                 flags=cv2.INTER_CUBIC), wc_step, (srcj,)),
+        ))
+
+    # ---- full-frame f32 warp rows (round-5 VERDICT item 2: the one
+    # known multi-ms op x dtype cell must carry a measured ref_ms) ----
+    import math
+
+    for (h, w), rot in [((1080, 1920), 0.0), ((1440, 2560), 0.0),
+                        ((1440, 2560), 20.0)]:
+        if (h, w) not in sizes:
+            continue
+        a = math.radians(rot)
+        mf = np.array([[0.9 * math.cos(a), 0.9 * math.sin(a), 30.0],
+                       [-0.9 * math.sin(a), 0.9 * math.cos(a), 20.0]],
+                      np.float32)
+        hh = h - 8  # 8-row anti-hoist window, kernel needs h % 8 == 0
+        srcf32 = _img(h, w, seed=h + int(rot)).astype(np.float32)
+        srcf32j = jax.device_put(jnp.asarray(srcf32))
+
+        def wf_step(i, b, mm=mf, hh=hh, ww=w):
+            win = lax.dynamic_slice(b, (8 * (i % 2), 0, 0), (hh, ww, 3))
+            return vc.warp_affine(
+                vc.Image(win, Layout.HWC), mm, (ww, hh)).data
+
+        tag = f"rot{int(rot)}_" if rot else ""
+        tests.append(TestFuncInfo(
+            f"warp_f32_{tag}{w}x{h}",
+            _pair(lambda s=srcf32, mm=mf, hh=hh, ww=w: cv2.warpAffine(
+                s[:hh], mm.astype(np.float64), (ww, hh)),
+                wf_step, (srcf32j,)),
         ))
 
     # ---- fused NV camera rows at 720p/1080p/1440p (VERDICT item 4) --

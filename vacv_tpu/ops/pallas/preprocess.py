@@ -56,7 +56,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ... import config
-from ..resize import _linear_weights
+from ..resize import _cubic_weights, _linear_weights, _nearest_weights
+
+
+def _resize_weights(n_in: int, n_out: int, interp: str) -> "np.ndarray":
+    """Dense (n_out, n_in) resize weight matrix for the fused kernel.
+
+    linear keeps the reference's Q11-quantized fixed-point grid
+    (resize_naive.cpp:20-53); cubic (4-tap A=-0.75) and nearest reuse
+    the resize op's builders unquantized, exactly like the standalone
+    resize dispatcher (ops/resize.py:205-229) — the banded plan logic
+    downstream is tap-count-agnostic (bands are scanned from the
+    matrices' nonzero structure)."""
+    if interp == "cubic":
+        return _cubic_weights(n_in, n_out)
+    if interp == "nearest":
+        return _nearest_weights(n_in, n_out)
+    return _linear_weights(n_in, n_out, quantize=True)
 
 EPS = 1e-6
 
@@ -103,7 +119,8 @@ class _Plan:
 
 @functools.lru_cache(maxsize=64)
 def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
-          oh: int, ow: int, precise: bool = False) -> _Plan | None:
+          oh: int, ow: int, precise: bool = False,
+          interp: str = "linear") -> _Plan | None:
     """Build the banded weight tables.  Returns None if unsupported.
 
     The DMA chunk height minimizes a measured cost model: every chunk
@@ -149,14 +166,15 @@ def _plan(h_img: int, w_img: int, left: int, cw: int, ch: int,
     )
     for chunk, nbuf in cands:
         p = _plan_with_chunk(
-            h_img, w_img, left, cw, ch, oh, ow, chunk, nbuf, precise
+            h_img, w_img, left, cw, ch, oh, ow, chunk, nbuf, precise,
+            interp,
         )
         if p is not None:
             return p
     return None
 
 
-def _vertical_plan(ch, oh, chunk):
+def _vertical_plan(ch, oh, chunk, interp="linear"):
     """Chunked vertical Q11 weight tables, shared by the BGR and NV
     plans: (n_chunks, starts, out_row0, row_win, wy) where wy is
     (9, n_chunks, row_win, chunk+8) — chunks are DMA'd from an
@@ -164,7 +182,7 @@ def _vertical_plan(ch, oh, chunk):
     rem = row0 - base ∈ [0, 8] inside a (CHUNK+8)-row buffer; the
     9 variants pre-shift the weight columns per rem and the
     scalar-prefetch index map picks the right one per step."""
-    wy_full = _linear_weights(ch, oh, quantize=True)  # (oh, ch)
+    wy_full = _resize_weights(ch, oh, interp)  # (oh, ch)
     n_chunks = -(-ch // chunk)
     starts, slices = [], []
     prev_end = 0
@@ -203,7 +221,8 @@ def _vertical_plan(ch, oh, chunk):
 
 
 def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
-                     chunk, nbuf=_NBUF, precise=False) -> _Plan | None:
+                     chunk, nbuf=_NBUF, precise=False,
+                     interp="linear") -> _Plan | None:
     w3 = w_img * 3
     if left < 0 or cw <= 0 or ch <= 0 or left + cw > w_img or ch > h_img:
         return None         # crop must sit inside the frame
@@ -221,13 +240,13 @@ def _plan_with_chunk(h_img, w_img, left, cw, ch, oh, ow,
     # excluded the reference's own 176x144 / 284x214 assets).
 
     # ---- vertical: chunked Q11 bilinear rows ----------------------
-    vert = _vertical_plan(ch, oh, chunk)
+    vert = _vertical_plan(ch, oh, chunk, interp)
     if vert is None:
         return None
     n_chunks, starts, out0, row_win, wy = vert
 
     # ---- horizontal: banded Q11 bilinear over interleaved lanes ---
-    wx_full = _linear_weights(cw, ow, quantize=True)  # (ow, cw)
+    wx_full = _resize_weights(cw, ow, interp)  # (ow, cw)
     op3 = _ceil_to(ow * 3, _LANE)
     n_xblocks = op3 // _LANE
     taps = [np.nonzero(wx_full[o])[0] for o in range(ow)]
@@ -316,7 +335,7 @@ def _kernel(
     # scratch
     acc, rib, buf, sem,
     *, plan: _Plan, oh: int, ow: int, trunc_u8: bool, precise: bool,
-    do_norm: bool, mean_s, std_s,
+    do_norm: bool, mean_s, std_s, interp: str = "linear",
 ):
     nj = plan.n_chunks
     f = pl.program_id(0)
@@ -396,8 +415,13 @@ def _kernel(
         if trunc_u8:
             # vacv fixed-point parity: Q22 truncation on non-negative
             # data == floor (resize_naive.cpp:61-64); epsilon absorbs
-            # f32 rounding of exactly-representable sums.
-            r = jnp.clip(jnp.floor(r + 1e-4), 0.0, 255.0)
+            # f32 rounding of exactly-representable sums.  Cubic and
+            # nearest have no fixed-point reference path — they match
+            # the resize op's OpenCV-style half-up rounding
+            # (ops/resize.py:419) so the fused route is interchangeable
+            # with the vmapped chain.
+            eps = 1e-4 if interp == "linear" else 0.5
+            r = jnp.clip(jnp.floor(r + eps), 0.0, 255.0)
         # HWC→CHW deinterleave as 0/1 selection matmuls: G[s, o] picks
         # interleaved lane s = o*3+c for out pixel o of channel c,
         # built per 128-lane output block to bound the field
@@ -462,20 +486,22 @@ def _plan_tables(key, precise: bool):
     jax.jit,
     static_argnames=("left", "cw", "ch", "oh", "ow", "trunc_u8",
                      "precise", "interpret", "do_norm", "mean_s",
-                     "std_s"),
+                     "std_s", "interp"),
 )
 def _call(batch, top, wy_arr, wx_arr, starts_arr, out0_arr, *, left, cw,
           ch, oh, ow, trunc_u8, precise, interpret, do_norm=True,
-          mean_s=None, std_s=None):
+          mean_s=None, std_s=None, interp="linear"):
     n, h, w, _ = batch.shape
     # precise doubles the streamed weight blocks, shrinking the VMEM
     # headroom — but only on a real device; interpret mode (CPU tests)
     # has no VMEM, so it must not change the plan.
-    plan = _plan(h, w, left, cw, ch, oh, ow, precise and not interpret)
+    plan = _plan(h, w, left, cw, ch, oh, ow, precise and not interpret,
+                 interp)
     src = batch.reshape(n, h, w * 3)
     kern = functools.partial(
         _kernel, plan=plan, oh=oh, ow=ow, trunc_u8=trunc_u8,
         precise=precise, do_norm=do_norm, mean_s=mean_s, std_s=std_s,
+        interp=interp,
     )
     rows = plan.chunk_rows + 8
 
@@ -542,7 +568,8 @@ def _pad_geometry(h, w):
 
 
 def plan_supported(h, w, left, cw, ch, oh, ow,
-                   precise: bool = False) -> bool:
+                   precise: bool = False,
+                   interp: str = "linear") -> bool:
     """Can the fused kernel run this config?  (Odd geometries plan
     with the wrapper's pad applied, mirroring preprocess_fused_batch;
     pass ``precise`` when the caller will run the Dekker-exact path on
@@ -550,8 +577,11 @@ def plan_supported(h, w, left, cw, ch, oh, ow,
     """
     if left < 0 or cw <= 0 or ch <= 0 or left + cw > w or ch > h:
         return False  # crop must sit inside the REAL frame, not the pad
+    if interp not in ("linear", "cubic", "nearest"):
+        return False
     hp, wp = _pad_geometry(h, w)
-    return _plan(hp, wp, left, cw, ch, oh, ow, precise) is not None
+    return _plan(hp, wp, left, cw, ch, oh, ow, precise,
+                 interp) is not None
 
 
 def _static_stats(v):
@@ -587,6 +617,7 @@ def preprocess_fused_batch(
     normalize=True,
     trunc_u8=True,
     precise=False,
+    interp="linear",
 ):
     """Fused crop→resize→CHW→f32→normalize over a (N, H, W, 3) u8 batch.
 
@@ -623,11 +654,11 @@ def preprocess_fused_batch(
         )
         h, w = hp, wp
     pv = precise and not config.pallas_interpret()
-    if _plan(h, w, left, cw, ch, oh, ow, pv) is None:
+    if _plan(h, w, left, cw, ch, oh, ow, pv, interp) is None:
         raise ValueError("config not supported by the fused kernel")
     config.record_kernel("preprocess_fused")
     wy_arr, wx_arr, starts_arr, out0_arr = _plan_tables(
-        (h, w, left, cw, ch, oh, ow, pv), precise
+        (h, w, left, cw, ch, oh, ow, pv, interp), precise
     )
     (res,) = _call(
         batch,
@@ -637,7 +668,7 @@ def preprocess_fused_batch(
         trunc_u8=trunc_u8, precise=precise,
         do_norm=bool(normalize),
         mean_s=_static_stats(mean), std_s=_static_stats(stddev),
-        interpret=config.pallas_interpret(),
+        interpret=config.pallas_interpret(), interp=interp,
     )
     return res
 
@@ -728,7 +759,7 @@ def _plan_nv_with_chunk(h_img, w_img, top, left, cw, ch, oh, ow,
     if ch < chunk or h_img < chunk + 8:
         return None
 
-    vert = _vertical_plan(ch, oh, chunk)
+    vert = _vertical_plan(ch, oh, chunk)  # NV chain is linear-only
     if vert is None:
         return None
     n_chunks, starts, out0, row_win, wy = vert

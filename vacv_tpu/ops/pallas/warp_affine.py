@@ -69,13 +69,15 @@ from ... import config
 _COEF_SCALE = 2048.0
 
 # VMEM budget for keeping the source planes resident (bytes); larger
-# sources use the streaming row-band mode.  Round-4: raised 8→24 MB
-# with an explicit ``vmem_limit_bytes`` on the kernel — the old 8 MB
-# gate forced one-channel-resident (cs=1) plans under vmap at
+# sources use the streaming row-band mode.  Round-4 raised 8→24 MB
+# (the old gate forced one-channel-resident cs=1 plans under vmap at
 # 1440p-class u8 sizes, whose M=rh selection dots run the MXU at a
-# third of the cs=3 utilization (measured 1.77→0.80 ms for the
-# BASELINE config-5 warp, batch 2).
-_PLANE_BUDGET = 24 * 1024 * 1024
+# third of the cs=3 utilization); round-5 raised 24→48 MB so f32
+# 1440p-class planes (44 MB for 3 channels) keep cs=3 — the cs=1
+# fallback measured 4.37 vs ~2.4 ms for the rot20 f32 frame.  An
+# explicit ``vmem_limit_bytes`` accompanies the budget (Mosaic's
+# default scoped limit is 16 MB).
+_PLANE_BUDGET = 48 * 1024 * 1024
 # Per-kernel scoped-VMEM ceiling passed to Mosaic (default is 16 MB,
 # which the 24 MB resident plans exceed).
 _VMEM_LIMIT = 100 * 1024 * 1024
