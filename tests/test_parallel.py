@@ -58,3 +58,31 @@ def test_crop_resize_pipeline_sharded(mesh, rng):
     for i in range(8):
         ref = np.asarray(pre(batch[i]))
         np.testing.assert_allclose(out[i], ref, atol=1e-5)
+
+
+def test_fused_kernel_interpret_under_shard_map(mesh, rng):
+    """Round-5 VERDICT item 6: the *kernel* path (interpret-mode
+    Pallas), not just the jnp chain, must compile and run inside
+    shard_map on the CPU mesh — the dryrun covers the jnp path only
+    (compiled Pallas cannot target CPU)."""
+    from vacv_tpu import config
+    from vacv_tpu.models import PreprocessConfig, Preprocessor
+
+    batch = rng.integers(0, 256, size=(16, 64, 128, 3), dtype=np.uint8)
+    cfg = PreprocessConfig(
+        crop_rect=vc.VRect(8, 8, 8 + 112, 8 + 48),
+        out_size=(32, 32), out_layout=vc.CHW, normalize=True,
+    )
+    with config.backend("pallas"):
+        pre = Preprocessor(cfg)
+        # the per-shard (2, ...) batch shape must plan for the fused
+        # kernel, or this test exercises nothing
+        assert pre._fused_geometry(batch.shape[1:], batch.dtype) is not None
+        before = config.kernel_count("preprocess_fused")
+        sharded = pre.batched(mesh)
+        out = np.asarray(sharded(put_sharded(batch, mesh)))
+        assert config.kernel_count("preprocess_fused") > before
+    with config.backend("jnp"):
+        want = np.asarray(jax.vmap(Preprocessor(cfg).fn)(jnp.asarray(batch)))
+    assert out.shape == want.shape == (16, 3, 32, 32)
+    np.testing.assert_allclose(out, want, atol=5e-2)

@@ -34,19 +34,23 @@ def _to_u8(data):
     return jnp.clip(as_int, 0, 255).astype(jnp.uint8)
 
 
-_FLOATS = (jnp.float32, jnp.float16, jnp.bfloat16)
+_FLOATS = (jnp.float32, jnp.float16, jnp.bfloat16, jnp.float64)
 
 
 def change_dtype(src, dtype) -> Image:
     """Convert ``src`` to ``dtype``.
 
-    Supported: uint8 ↔ {float32, float16, bfloat16} and conversions
-    among the float types.  The reference implements only u8↔fp32
-    (tensor.cpp:459-502) but declares FP16 on its Tensor (tensor.h:14)
-    and carries an fp16 resize in its graveyard
-    (src_deprecated/paddle-resize/cubic_resize_float16.cpp) — half
-    precision is first-class here since bf16 is the TPU's native narrow
-    float.  float→u8 always truncates toward zero and saturates.
+    Supported: uint8 ↔ {float32, float16, bfloat16, float64} and
+    conversions among the float types.  The reference implements only
+    u8↔fp32 (tensor.cpp:459-502) but declares FP16 and FP64 on its
+    Tensor (tensor.h:12-18, TensorConverter maps CV_64FC*,
+    tensor_converter.cpp:15-44) and carries an fp16 resize in its
+    graveyard (src_deprecated/paddle-resize/cubic_resize_float16.cpp)
+    — half precision is first-class here since bf16 is the TPU's
+    native narrow float, and f64 is admitted for container parity
+    (JAX demotes to f32 storage unless ``jax_enable_x64`` is set; no
+    reference kernel ever computes in f64).  float→u8 always
+    truncates toward zero and saturates.
 
     Accepts an ``Image`` or raw array (assumed HWC).
     """
@@ -60,7 +64,9 @@ def change_dtype(src, dtype) -> Image:
         out = _to_u8(img.data.astype(jnp.float32))
     else:
         raise NotImplementedError(
-            "change_dtype supports uint8 <-> {float32,float16,bfloat16}, "
-            f"got {dtype}"
+            "change_dtype supports uint8 <-> {float32,float16,bfloat16,"
+            "float64} and float-to-float conversions; got "
+            f"{dtype}.  For integer targets other than uint8, convert "
+            "to float32 first and cast with jnp.astype."
         )
     return img.with_data(out)

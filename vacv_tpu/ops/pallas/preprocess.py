@@ -881,8 +881,12 @@ def _kernel_nv(
     rows_c = plan.rows_c
 
     def base_of(jj):
+        # Clamp BOTH ends (round-5 ADVICE fix): a traced negative
+        # ``top`` bypasses the wrapper's python-int bounds check, and
+        # an unclamped negative row0 would start the Y DMA before the
+        # buffer.  Over-large tops were already clamped from above.
         row0 = top_ref[0] + starts_ref[jj]
-        return jnp.minimum((row0 // 8) * 8, h_y - rows)
+        return jnp.clip((row0 // 8) * 8, 0, h_y - rows)
 
     def cstart_of(jj):
         # Runtime chroma window start from the runtime Y base (round-4

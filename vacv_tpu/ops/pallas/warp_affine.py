@@ -214,47 +214,47 @@ def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize,
       of the streaming mode cannot lower, so a one-channel-resident
       mode (VMEM blockspecs, channel-grouped grid) serves instead.
     """
-    t = lb = rh = None
+    # Mode selection runs per t candidate (round-5 ADVICE fix): a
+    # geometry whose t=16 streaming band overflows _BAND_BUDGET but
+    # whose t=8 band fits used to fall all the way to the ~16 ms XLA
+    # gather; now the next candidate is tried before giving up.
     for tc in _T_CANDIDATES:
         if tc > _T and h_out < tc:
             continue  # don't compute a 16-row strip for an 8-row output
-        lbc = _pick_lb(minv, tc, interp)
-        if lbc is None:
+        lb = _pick_lb(minv, tc, interp)
+        if lb is None:
             continue
-        rhc = _rh(minv, tc, lbc, interp)
-        if rhc > _RH_CAP:
+        rh = _rh(minv, tc, lb, interp)
+        if rh > _RH_CAP:
             continue
-        t, lb, rh = tc, lbc, rhc
-        break
-    if t is None:
-        return None
-    nb = -(-w_out // lb)
-    wp = nb * lb
-    plane = _round_up(h_in, 8) * _round_up(w_in, 128) * itemsize
-    cs = rbh = None
-    if plane * c <= _PLANE_BUDGET:
-        cs, rbh = c, 0
-    else:
-        if allow_stream:
-            sp = _stream_plan(minv, t, lb, rh, wp, c, h_in, w_in,
-                              itemsize, interp)
-            if sp is not None:
-                cs, rbh = sp
-        if cs is None and plane <= _PLANE_BUDGET:
-            cs, rbh = 1, 0
-        if cs is None and not allow_stream:
-            # Last resort off-vmap coverage parity: a non-batched
-            # caller would stream; a vmapped one cannot, so reject.
-            return None
-        if cs is None:
-            return None
-    if rbh == 0:
-        h_pad = max(_round_up(h_in, 8), rh)
-        w_pad = max(_round_up(w_in, 128), 256)
-    else:
-        h_pad, w_pad = h_in, w_in
-    return dict(t=t, lb=lb, rh=rh, nb=nb, wp=wp, cs=cs,
-                h_pad=h_pad, w_pad=w_pad, rbh=rbh)
+        t = tc
+        nb = -(-w_out // lb)
+        wp = nb * lb
+        plane = _round_up(h_in, 8) * _round_up(w_in, 128) * itemsize
+        cs = rbh = None
+        if plane * c <= _PLANE_BUDGET:
+            cs, rbh = c, 0
+        else:
+            if allow_stream:
+                sp = _stream_plan(minv, t, lb, rh, wp, c, h_in, w_in,
+                                  itemsize, interp)
+                if sp is not None:
+                    cs, rbh = sp
+            if cs is None and plane <= _PLANE_BUDGET:
+                cs, rbh = 1, 0
+            if cs is None:
+                # Off-vmap callers would stream; a vmapped one cannot
+                # (ANY-space sources reject batched block mappings) —
+                # try the next t candidate, then give up.
+                continue
+        if rbh == 0:
+            h_pad = max(_round_up(h_in, 8), rh)
+            w_pad = max(_round_up(w_in, 128), 256)
+        else:
+            h_pad, w_pad = h_in, w_in
+        return dict(t=t, lb=lb, rh=rh, nb=nb, wp=wp, cs=cs,
+                    h_pad=h_pad, w_pad=w_pad, rbh=rbh)
+    return None
 
 
 def warp_supported(minv, h_in, w_in, itemsize: int = 1,

@@ -139,7 +139,13 @@ def _border_pad_plan(minv, h_in, w_in, h_out, w_out, cubic=False):
     cy = np.array([m[1, 0] * x + m[1, 1] * y + m[1, 2] for x in xs for y in ys])
     # Tap range: floor(f) .. floor(f)+1, +1 margin for nearest
     # rounding; cubic reaches one column/row further on each side.
-    ext = 1 if cubic else 0
+    # +1 guard pixel per side on top (round-5 ADVICE fix): the kernel
+    # evaluates fx/fy in f32 on a pad-translated matrix, so a corner
+    # sitting exactly on an integer boundary can floor one pixel past
+    # this f64 corner estimate — without the guard that tap's weight
+    # would be zeroed and border_value would bleed into a REPLICATE/
+    # REFLECT/WRAP pixel.  The pad copy is cheap; _PAD_CAP is generous.
+    ext = (1 if cubic else 0) + 1
     sx_min = int(np.floor(cx.min())) - ext
     sx_max = int(np.floor(cx.max())) + 1 + ext
     sy_min = int(np.floor(cy.min())) - ext
