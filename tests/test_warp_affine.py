@@ -215,3 +215,90 @@ def test_border_transparent_matches_vacv_skip(bgr_640x360):
         bgr_640x360, m, (256, 200), edge_mode="vacv"
     ).numpy()
     np.testing.assert_array_equal(out_t, out_v)
+
+
+# ---- separable (axis-aligned) fast path --------------------------------
+
+def test_separable_routing(bgr_640x360):
+    """m1 == m3 == 0 routes to the banded-matmul separable path; a
+    rotated matrix does not."""
+    from vacv_tpu import config
+
+    m_axis = np.array([[0.9, 0.0, 5.0], [0.0, 1.1, -8.0]], np.float32)
+    m_rot = np.array([[0.9, 0.01, 5.0], [-0.01, 0.9, -8.0]], np.float32)
+    c0 = config.kernel_count("warp_separable")
+    vc.warp_affine(bgr_640x360, m_axis, (256, 200)).numpy()
+    assert config.kernel_count("warp_separable") == c0 + 1
+    vc.warp_affine(bgr_640x360, m_rot, (256, 200)).numpy()
+    assert config.kernel_count("warp_separable") == c0 + 1
+
+
+def test_separable_matches_gather_route(bgr_640x360):
+    """The separable matmul path reproduces the jnp gather route
+    (u8: <=1 LSB from f32 association; f32: tight abs)."""
+    import jax.numpy as jnp
+
+    from vacv_tpu.ops.warp_affine import _warp_planes
+
+    m = np.array([[0.9, 0.0, 5.0], [0.0, 1.1, -8.0]], np.float32)
+    minv = vc.invert_affine(m)
+    out = vc.warp_affine(bgr_640x360, m, (256, 200)).numpy()
+    pl = jnp.transpose(jnp.asarray(bgr_640x360), (2, 0, 1)).astype(jnp.float32)
+    g = _warp_planes(pl, minv, 200, 256, u8=True, border_value=0.0,
+                     edge_mode="opencv")
+    g = np.clip(np.floor(np.asarray(g) + 1e-4), 0, 255).astype(np.uint8)
+    diff = np.abs(out.astype(int) - np.transpose(g, (1, 2, 0)).astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+    srcf = bgr_640x360.astype(np.float32)
+    outf = vc.warp_affine(srcf, m, (256, 200)).numpy()
+    gf = np.transpose(np.asarray(
+        _warp_planes(pl, minv, 200, 256, u8=False, border_value=0.0,
+                     edge_mode="opencv")), (1, 2, 0))
+    np.testing.assert_allclose(outf, gf, atol=0.02)
+
+
+def test_separable_flip_vs_opencv(bgr_640x360):
+    """Negative-scale (mirror) warps are axis-aligned too; integer
+    flips must be exact."""
+    m = np.array([[-1.0, 0.0, 639.0], [0.0, 1.0, 0.0]], np.float32)
+    out = vc.warp_affine(bgr_640x360, m, (640, 360)).numpy()
+    ref = cv2.warpAffine(bgr_640x360, m.astype(np.float64), (640, 360))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_separable_wrap_overshoot_vs_opencv(bgr_640x360):
+    """WRAP border with overshoot far beyond the kernel route's pad
+    cap: the separable path folds the border rule into the tap index,
+    so arbitrary overshoot is exact."""
+    srcf = bgr_640x360.astype(np.float32)
+    m = np.array([[1.0, 0.0, -900.0], [0.0, 1.0, -500.0]], np.float32)
+    out = vc.warp_affine(
+        srcf, m, (400, 300), border_mode=vc.BorderMode.BORDER_WRAP
+    ).numpy()
+    ref = cv2.warpAffine(
+        srcf, m.astype(np.float64), (400, 300),
+        borderMode=cv2.BORDER_WRAP,
+    )
+    np.testing.assert_allclose(out, ref, atol=0.05)
+
+
+def test_separable_under_vmap(bgr_640x360):
+    """The separable path is pure jnp — it must vmap (the selection
+    kernel needs its vmap-specific resident plan instead)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vacv_tpu.core.types import Layout
+
+    m = np.array([[0.9, 0.0, 5.0], [0.0, 0.9, 8.0]], np.float32)
+    batch = jnp.stack([jnp.asarray(bgr_640x360)] * 2)
+
+    def one(x):
+        return vc.warp_affine(vc.Image(x, Layout.HWC), m, (128, 96)).data
+
+    vout = np.asarray(jax.vmap(one)(batch))
+    single = np.asarray(one(jnp.asarray(bgr_640x360)))
+    np.testing.assert_array_equal(vout[0], single)
+    np.testing.assert_array_equal(vout[1], single)

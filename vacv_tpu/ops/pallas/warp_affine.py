@@ -111,8 +111,25 @@ _VARIANT = __import__("os").environ.get("VACV_WARP_VARIANT", "pair")
 #                tiles) and rev8's dynamic-sublane store + revisit
 #                overhead loses to plain rows
 _STORE = __import__("os").environ.get("VACV_WARP_STORE", "i32rows")
+# f32 horizontal-stage strategy (round 5; benchmarks/warp_f32_ab.py):
+#   "fold3"  — tap weights folded into ONE selection field, field and
+#              band each split hi/lo bf16, and the ~2^-32-relative
+#              lo×lo cross term dropped: 3 dots TOTAL for linear
+#              (round-4 "pair" spent 4: 2 taps × 2 band terms) and 3
+#              for cubic (was 8), plus a single vertical reduce.
+#              Same ~2^-16-relative fidelity class as "pair".
+#   "pair"   — round-4 per-tap 0/1 fields × 2-term band split.
+_F32_VARIANT = __import__("os").environ.get("VACV_WARP_F32", "fold3")
+# Force a (t, lb) pair, e.g. "8,32" (A/B probes only; planner picks
+# otherwise).
+_FORCE_TLB = __import__("os").environ.get("VACV_WARP_TLB")
 _T = 8          # minimum strip height (and the sublane-alignment unit)
 _KW = 128       # selection-dot contraction width (source window)
+# "auto" (default): narrow the contraction window to 64/32 when the
+# lane-block's tap span fits (smaller field builds + band slices; A/B
+# via warp_f32_ab — rot20 f32 1.95 → 1.74 ms); "128" forces the fixed
+# round-4 window.
+_KW_MODE = __import__("os").environ.get("VACV_WARP_KW", "auto")
 _RH_CAP = 120   # max band rows per lane-block (dot M-height = cs*rh)
 
 
@@ -214,20 +231,83 @@ def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize,
       of the streaming mode cannot lower, so a one-channel-resident
       mode (VMEM blockspecs, channel-grouped grid) serves instead.
     """
-    # Mode selection runs per t candidate (round-5 ADVICE fix): a
-    # geometry whose t=16 streaming band overflows _BAND_BUDGET but
+    # Mode selection runs per (t, lb) candidate (round-5 ADVICE fix):
+    # a geometry whose t=16 streaming band overflows _BAND_BUDGET but
     # whose t=8 band fits used to fall all the way to the ~16 ms XLA
     # gather; now the next candidate is tried before giving up.
-    for tc in _T_CANDIDATES:
-        if tc > _T and h_out < tc:
-            continue  # don't compute a 16-row strip for an 8-row output
-        lb = _pick_lb(minv, tc, interp)
-        if lb is None:
-            continue
-        rh = _rh(minv, tc, lb, interp)
-        if rh > _RH_CAP:
-            continue
-        t = tc
+    #
+    # Candidate ORDER (round 5): u8 keeps the round-4 measured
+    # preference — t=16 with the largest feasible lane-block (taller
+    # strips amortize loads; the u8 dots are cheap single-pass bf16).
+    # f32 plans are dot-MAC-bound (3 bf16 passes over a (cs·rh, kw)
+    # band), so candidates are ranked by an empirical cost model
+    # fitted to the device A/B ladder (benchmarks/warp_f32_ab.py,
+    # rot20 1440p: t16/lb64 3.43 → t8/lb32/kw64 1.74 ms):
+    #     cost/output = nd·128·rh  (selection dots; K pads to 128)
+    #                 + 20·kw      (field build + band split, VPU)
+    #                 + 1.2e6/(t·lb)  (per-block dispatch/roll)
+    # which reproduces the measured ranking of all 6 probed configs.
+    margin = 8 if interp == "cubic" else 5
+
+    def _kw_for(xs, narrow):
+        if not narrow:
+            return _KW
+        if xs + margin <= 30:
+            return 32
+        if xs + margin <= 62:
+            return 64
+        return _KW
+
+    force = None
+    if _FORCE_TLB:
+        force = tuple(int(v) for v in _FORCE_TLB.split(","))
+    # Model-ranked candidates: all f32 plans, and u8 plans off-vmap
+    # (the vmapped resident regime measured FASTER on the legacy
+    # t16/largest-lb order — cfg5-vmap 0.586 vs 0.600/0.625 ms — while
+    # off-vmap u8 1080p measured 0.209 -> 0.175 ms on the model's
+    # t16/lb32/kw64 pick).  nd = selection dots per output block:
+    # f32 fold3 = 3 (any interp), u8 nearest = 1, u8 cubic = 4,
+    # u8 linear = 2.
+    # Nearest is single-dot and load/store-bound — the model's
+    # dot-centric constants mis-rank it (t16/lb32/kw64 measured 0.172
+    # vs the legacy pick's 0.092 ms at the 1080p u8 row); it keeps the
+    # legacy order.
+    use_model = (itemsize == 4 or allow_stream) and interp != "nearest"
+    if itemsize == 4:
+        nd = 3
+    elif interp == "cubic":
+        nd = 4
+    else:
+        nd = 2
+    narrow = _KW_MODE == "auto"
+    cands = []
+    if force:
+        tcs = (force[0],)
+    else:
+        tcs = tuple(tc for tc in _T_CANDIDATES
+                    if not (tc > _T and h_out < tc))
+    for tc in tcs:
+        if force:
+            lbs = (force[1],)
+        elif use_model:
+            lbs = (128, 64, 32, 16)
+        else:
+            lb = _pick_lb(minv, tc, interp)
+            lbs = (lb,) if lb is not None else ()
+        for lbc in lbs:
+            xs, _ = _spans(minv, tc, lbc)
+            if not force and xs + margin > 126:
+                continue
+            rh = _rh(minv, tc, lbc, interp)
+            if rh > _RH_CAP:
+                continue
+            kw = _kw_for(xs, narrow)
+            cost = (nd * 128 * rh + 20 * kw + 1.2e6 / (tc * lbc))
+            cands.append((cost, tc, lbc, rh, kw))
+    if use_model and not force:
+        cands.sort(key=lambda cand: cand[0])
+    for _, t, lb, rh, kw in cands:
+        tc = t
         nb = -(-w_out // lb)
         wp = nb * lb
         plane = _round_up(h_in, 8) * _round_up(w_in, 128) * itemsize
@@ -253,7 +333,7 @@ def _plan(minv, c, h_in, w_in, h_out, w_out, itemsize,
         else:
             h_pad, w_pad = h_in, w_in
         return dict(t=t, lb=lb, rh=rh, nb=nb, wp=wp, cs=cs,
-                    h_pad=h_pad, w_pad=w_pad, rbh=rbh)
+                    h_pad=h_pad, w_pad=w_pad, rbh=rbh, kw=kw)
     return None
 
 
@@ -283,7 +363,7 @@ def under_vmap(x) -> bool:
 
 
 def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
-            h_pad, w_pad, rbh, u8, bv, ns, interp):
+            h_pad, w_pad, rbh, u8, bv, ns, interp, kw=_KW):
     nearest = interp == "nearest"
     cubic = interp == "cubic"
     # Round-5 integer path (u8 linear/nearest): the Q11 tap weights are
@@ -299,6 +379,10 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
     # rounding anywhere past the coordinate math.  Requires an integer
     # border value; fractional bv falls back to the f32 epilogue.
     u8lin = u8 and not cubic
+    # f32 fold3 (round 5): weights inside ONE selection field, 3 dots,
+    # one vertical reduce — applies to f32 linear AND cubic (nearest
+    # stays the exact 3-term split).
+    foldf = (not u8) and not nearest and _F32_VARIANT == "fold3"
     int_h = u8lin and _VARIANT in ("int", "inthf32")
     int_v = (int_h and _VARIANT == "int" and float(bv).is_integer()
              and 0.0 <= float(bv) <= 255.0)
@@ -374,7 +458,7 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
     lane_f = ((bi * lb) + (jc % lb)).astype(jnp.float32)
     dy = (s * t).astype(jnp.float32) + trow_f
     dd = jax.lax.broadcasted_iota(jnp.int32, (rh, t * lb), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (_KW, t * lb), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (kw, t * lb), 0)
     fdt = jnp.bfloat16
 
     fx = jnp.clip(m0 * lane_f + m1 * dy + m2, -1e6, 1e6)
@@ -483,7 +567,7 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
             jnp.minimum(jnp.minimum(fyc[0], fyc[1]),
                         jnp.minimum(fyc[2], fyc[3]))
         ).astype(jnp.int32) - 1
-        c1 = jnp.minimum(jnp.maximum(sxm + k0, 0), w_pad - 127)
+        c1 = jnp.minimum(jnp.maximum(sxm + k0, 0), w_pad - (kw - 1))
         c_al = jnp.minimum((c1 // 128) * 128, w_pad - 256)
         c_al = pl.multiple_of(c_al, 128)
         d = c1 - c_al
@@ -523,7 +607,7 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
         # iota-compare field that replaces it).  band[k] = src col
         # c1 + k, in i32 (u8 widen; dynamic rotate is 32-bit only) or
         # f32.
-        band = pltpu.roll(band256, (256 - d) % 256, 1)[:, :_KW]
+        band = pltpu.roll(band256, (256 - d) % 256, 1)[:, :kw]
 
         sx_rel = _row(sx) - c1
         sy_rel = _row(sy) - r0
@@ -586,10 +670,30 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
                 jnp.dot(bb, Fh, preferred_element_type=jnp.float32)
                 + jnp.dot(bb, Fl, preferred_element_type=jnp.float32)
             )
+        elif foldf:
+            # f32 fold3: F carries the validity-zeroed tap weights at
+            # their key columns; F and the band each split hi/lo bf16.
+            # (bh+bl)(Fh+Fl) ≈ bh·Fh + bh·Fl + bl·Fh — the dropped
+            # bl·Fl term is ~2^-32 relative, far under the 2^-16 class
+            # of the splits themselves.  3 dots for linear (pair: 4)
+            # and cubic (pair: 8); vertical reduces ONE plane.
+            wxe = [_row(w) for w in wxv_all]
+            F = jnp.where(cc == sx_rel + k0, wxe[0], 0.0)
+            for k in range(1, ntx):
+                F = F + jnp.where(cc == sx_rel + k0 + k, wxe[k], 0.0)
+            Fh = F.astype(fdt)
+            Fl = (F - Fh.astype(jnp.float32)).astype(fdt)
+            bh = band.astype(fdt)
+            bl = (band - bh.astype(jnp.float32)).astype(fdt)
+            Hf = (
+                jnp.dot(bh, Fh, preferred_element_type=jnp.float32)
+                + jnp.dot(bh, Fl, preferred_element_type=jnp.float32)
+                + jnp.dot(bl, Fh, preferred_element_type=jnp.float32)
+            )
         else:
             Gs = [(cc == sx_rel + k0 + k).astype(fdt)
                   for k in range(ntx)]
-        if int_h or fold:
+        if int_h or fold or foldf:
             pass
         elif u8:
             bb = band.astype(fdt)  # u8-derived i32: exact in bf16
@@ -654,6 +758,10 @@ def _kernel(src_ref, out_ref, *scratch, m, h_in, w_in, t, lb, rh, nb, cs,
                                0, 255)
                 if u8out:
                     acc = acc.astype(jnp.uint8)
+            elif foldf:
+                # x weights already inside Hf; f32 output, no clip.
+                acc = backfill + jnp.sum(wv * Hf[rs], axis=0,
+                                         keepdims=True)
             elif int_h or fold:
                 # x weights (and their Q11 scaling) are already inside
                 # Hf; one f32 multiply+reduce per channel.
@@ -744,7 +852,7 @@ def _call(planes, *, m, h_out, w_out, u8, bv, interpret, allow_stream,
     kernel = functools.partial(
         _kernel, m=m, h_in=h_in, w_in=w_in, t=t, lb=lb, rh=rh, nb=nb,
         cs=cs, h_pad=h_pad, w_pad=w_pad, rbh=rbh, u8=u8, bv=bv, ns=ns,
-        interp=interp,
+        interp=interp, kw=plan["kw"],
     )
     dtype = jnp.uint8 if u8 else jnp.float32
     if stream:

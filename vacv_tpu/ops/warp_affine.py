@@ -29,6 +29,8 @@ Parity notes:
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -161,6 +163,197 @@ def _border_pad_plan(minv, h_in, w_in, h_out, w_out, cubic=False):
     if max(pt, pb) >= h_in or max(pl_, pr) >= w_in:
         return None
     return pt, pb, pl_, pr
+
+
+def _np_border_index(col: np.ndarray, n: int, border: "BorderMode") -> np.ndarray:
+    """cv::borderInterpolate's index map, in numpy, for the separable
+    weight builder (same rules as the jnp route's ``remap``)."""
+    if border == BorderMode.BORDER_REPLICATE:
+        return np.clip(col, 0, n - 1)
+    if border == BorderMode.BORDER_REFLECT:
+        m = np.mod(col, 2 * n)
+        return np.where(m >= n, 2 * n - 1 - m, m)
+    if border == BorderMode.BORDER_REFLECT_101:
+        if n == 1:
+            return np.zeros_like(col)
+        m = np.mod(col, 2 * n - 2)
+        return np.where(m >= n, 2 * n - 2 - m, m)
+    if border == BorderMode.BORDER_WRAP:
+        return np.mod(col, n)
+    raise AssertionError(border)
+
+
+@functools.lru_cache(maxsize=256)
+def _axis_weights(n_in: int, n_out: int, a: float, b: float, interp: str,
+                  quantize: bool, border: int):
+    """1-D warp weight matrix for the axis-aligned source map
+    ``f(d) = a*d + b`` (one axis of a separable affine), plus the
+    per-output valid-weight row sums.
+
+    Tap positions and weights follow the warp kernels exactly (f32
+    coordinate math, floor/frac anchoring, Q11 quantization for the u8
+    linear path, OpenCV half-up rounding for nearest, 4-tap A=-0.75 for
+    cubic).  BORDER_CONSTANT zeroes out-of-image taps (the caller
+    backfills the weight deficit with the border value — exact per-tap
+    cv::warpAffine CONSTANT semantics); the coordinate-remap modes fold
+    the border rule into the tap index, so the row sums are exactly 1.
+
+    Returns ``(W, rowsum)`` with ``W: (n_out, n_in) float32``.
+    """
+    border = BorderMode(border)
+    d = np.arange(n_out, dtype=np.float32)
+    f = np.float32(a) * d + np.float32(b)
+    if interp == "nearest":
+        taps = [(np.floor(f + np.float32(0.5)).astype(np.int64),
+                 np.ones(n_out, np.float32))]
+    elif interp == "linear":
+        s = np.floor(f).astype(np.int64)
+        frac = (f - s).astype(np.float32)
+        w0 = 1.0 - frac
+        if quantize:
+            w0 = (np.floor(w0 * _COEF_SCALE + 0.5) / _COEF_SCALE).astype(
+                np.float32)
+        taps = [(s, w0), (s + 1, (1.0 - w0).astype(np.float32))]
+    else:  # cubic
+        s = np.floor(f).astype(np.int64)
+        frac = (f - s).astype(np.float32)
+        A = -0.75
+        f0 = frac + 1.0
+        f2 = 1.0 - frac
+        c0 = A * f0**3 - 5 * A * f0**2 + 8 * A * f0 - 4 * A
+        c1 = (A + 2) * frac**3 - (A + 3) * frac**2 + 1
+        c2 = (A + 2) * f2**3 - (A + 3) * f2**2 + 1
+        c3 = 1.0 - c0 - c1 - c2
+        taps = [(s - 1 + k, c.astype(np.float32))
+                for k, c in enumerate((c0, c1, c2, c3))]
+
+    W = np.zeros((n_out, n_in), dtype=np.float32)
+    rowsum = np.zeros(n_out, dtype=np.float32)
+    rows = np.arange(n_out)
+    for col, w in taps:
+        if border == BorderMode.BORDER_CONSTANT:
+            valid = (col >= 0) & (col <= n_in - 1)
+            np.add.at(W, (rows[valid], col[valid]), w[valid])
+            rowsum += np.where(valid, w, 0.0)
+        else:
+            np.add.at(W, (rows, _np_border_index(col, n_in, border)), w)
+            rowsum += w
+    return W, rowsum.astype(np.float32)
+
+
+# Row-block size for the banded separable matmuls, and slice-start
+# alignments (lane dim 128, f32 sublane dim 8) — same tiling rationale
+# as resize's _BAND_BLOCK machinery.
+_SEP_BLOCK = 128
+
+
+def _sep_band_plan(W: np.ndarray, align: int):
+    """(blocks, cost): row blocks of ``W`` with aligned nonzero column
+    bands.  Unlike resize's ``_band_blocks`` this admits all-zero
+    blocks (fully out-of-bounds output spans under BORDER_CONSTANT),
+    marked as ``(r0, r1, 0, 0)``."""
+    blocks = []
+    cost = 0
+    for r0 in range(0, W.shape[0], _SEP_BLOCK):
+        r1 = min(r0 + _SEP_BLOCK, W.shape[0])
+        cols = np.nonzero((W[r0:r1] != 0.0).any(axis=0))[0]
+        if cols.size == 0:
+            blocks.append((r0, r1, 0, 0))
+            continue
+        c0 = (int(cols[0]) // align) * align
+        c1 = int(cols[-1]) + 1
+        blocks.append((r0, r1, c0, c1))
+        cost += (r1 - r0) * (c1 - c0)
+    return blocks, cost
+
+
+def _sep_matmul_rows(W, x, blocks):
+    """Banded ``W @ x`` over axis -2 (bf16x3 precision: the full-frame
+    warp operands are f32 image data, not u8-derived)."""
+    import jax
+
+    outs = []
+    for (r0, r1, c0, c1) in blocks:
+        if c0 == c1:
+            outs.append(jnp.zeros(x.shape[:-2] + (r1 - r0, x.shape[-1]),
+                                  jnp.float32))
+        else:
+            outs.append(jnp.matmul(
+                jnp.asarray(W[r0:r1, c0:c1]), x[..., c0:c1, :],
+                precision=jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32,
+            ))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-2)
+
+
+def _sep_matmul_cols(W, x, blocks):
+    """Banded ``x @ Wᵀ`` over axis -1."""
+    import jax
+
+    outs = []
+    for (r0, r1, c0, c1) in blocks:
+        if c0 == c1:
+            outs.append(jnp.zeros(x.shape[:-1] + (r1 - r0,), jnp.float32))
+        else:
+            outs.append(jnp.matmul(
+                x[..., :, c0:c1], jnp.asarray(W[r0:r1, c0:c1].T),
+                precision=jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32,
+            ))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _warp_separable(planes, minv, h_out: int, w_out: int, *, u8: bool,
+                    border_value: float, edge_mode: str,
+                    border: "BorderMode", interp: str):
+    """Axis-aligned (m1 == m3 == 0) affine warp as two banded MXU
+    matmuls — the resize machinery generalized to affine offsets.
+
+    A rotation-free affine map is exactly separable:
+    ``dst = W_y @ src @ W_xᵀ`` with per-axis warp weight rows built
+    from ``fx = m0·dx + m2`` / ``fy = m4·dy + m5``.  This runs at the
+    resize kernels' memory-bound speed (~0.03–0.4 ms full-frame) where
+    the general selection kernel pays MXU MACs for the rotation it
+    doesn't have (~2–4 ms f32 full-frame).  BORDER_CONSTANT's missing
+    tap weight is restored as a rank-1 backfill
+    ``bv · (1 − rowsum_y ⊗ rowsum_x)``; remap borders fold into the
+    tap indices (exact for arbitrary overshoot — no pad cap).
+
+    Both matmul passes are block-banded: a full-frame near-unit-scale
+    warp has n_out ≈ n_in on both axes, where one dense pass would
+    burn ~17 G MACs at 1440p (≈1.5 ms) against the band's ~1.8 G.
+    bf16x3 precision keeps f32 inputs ~f32-faithful (the tight abs
+    test bar is 0.05 on 0..255 data; single-pass bf16 would miss it).
+
+    Returns f32 planes (pre-truncation, like ``_warp_planes``).
+    """
+    h_in, w_in = planes.shape[-2], planes.shape[-1]
+    m = np.asarray(minv, np.float32)
+    q = bool(u8) and interp == "linear"
+    wy, ry = _axis_weights(h_in, h_out, float(m[1, 1]), float(m[1, 2]),
+                           interp, q, int(border))
+    wx, rx = _axis_weights(w_in, w_out, float(m[0, 0]), float(m[0, 2]),
+                           interp, q, int(border))
+
+    yblocks, ycost = _sep_band_plan(wy, 8)
+    xblocks, xcost = _sep_band_plan(wx, 128)
+    # Pass order by banded MAC count (cost × the other pass's dim).
+    if ycost * w_in + xcost * h_out <= xcost * h_in + ycost * w_out:
+        t = _sep_matmul_rows(wy, planes, yblocks)
+        out = _sep_matmul_cols(wx, t, xblocks)
+    else:
+        t = _sep_matmul_cols(wx, planes, xblocks)
+        out = _sep_matmul_rows(wy, t, yblocks)
+
+    if border == BorderMode.BORDER_CONSTANT:
+        deficit = 1.0 - ry[:, None] * rx[None, :]
+        if float(border_value) != 0.0 and np.any(deficit > 0):
+            out = out + jnp.asarray(
+                np.float32(border_value) * deficit.astype(np.float32))
+    if edge_mode == "vacv" and interp == "linear":
+        full_support = _vacv_support_mask(minv, h_out, w_out, h_in, w_in)
+        out = jnp.where(full_support, out, jnp.float32(border_value))
+    return out
 
 
 def _vacv_support_mask(minv, h_out: int, w_out: int, h_in: int, w_in: int):
@@ -352,11 +545,17 @@ def warp_affine(
     else:
         planes = data
 
-    # Fast path: the gather-free pallas kernel (TPU; bilinear, nearest
-    # or 4x4 A=-0.75 cubic, u8 or f32).  CONSTANT borders run the
-    # kernel directly; the coordinate-remap modes (REPLICATE/REFLECT/
-    # REFLECT_101/WRAP) run it on a border-rule-padded source with a
-    # translated matrix (static overshoot from the affine corner
+    # Fast path 1: axis-aligned matrices (m1 == m3 == 0 — pure
+    # scale/translate/flip, the SLAM-and-serving-common resize-with-
+    # offset case) run as two banded MXU matmuls via the resize
+    # machinery (see _warp_separable) — ~10–100x the selection kernel,
+    # any dtype, vmap-safe.
+    #
+    # Fast path 2: the gather-free pallas kernel (TPU; bilinear,
+    # nearest or 4x4 A=-0.75 cubic, u8 or f32).  CONSTANT borders run
+    # the kernel directly; the coordinate-remap modes (REPLICATE/
+    # REFLECT/REFLECT_101/WRAP) run it on a border-rule-padded source
+    # with a translated matrix (static overshoot from the affine corner
     # extremes); the vacv skip-edge semantics are an output-grid
     # post-mask (linear only, matching the reference).  The XLA gather
     # remains the fallback for unplannable geometries.
@@ -365,6 +564,35 @@ def warp_affine(
     _KINTERP = {InterMode.INTER_LINEAR: "linear",
                 InterMode.INTER_NEAREST: "nearest",
                 InterMode.INTER_CUBIC: "cubic"}
+    if (
+        interp in _KINTERP
+        and float(minv[0, 1]) == 0.0
+        and float(minv[1, 0]) == 0.0
+        and (border_mode == BorderMode.BORDER_CONSTANT
+             or border_mode in _PAD_MODES)
+    ):
+        from .. import config as vconfig
+
+        vconfig.record_kernel("warp_separable")
+        out = _warp_separable(
+            planes.astype(jnp.float32), minv, dsize.h, dsize.w,
+            u8=is_u8, border_value=bv, edge_mode=edge_mode,
+            border=border_mode, interp=_KINTERP[interp],
+        )
+        if is_u8:
+            if interp == InterMode.INTER_LINEAR:
+                out = jnp.clip(jnp.floor(out + 1e-4), 0, 255).astype(
+                    jnp.uint8)
+            else:
+                out = jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(
+                    jnp.uint8)
+        elif data.dtype != jnp.float32:
+            out = out.astype(data.dtype)
+        if squeeze:
+            out = out[0]
+        elif img.layout == Layout.HWC:
+            out = jnp.transpose(out, (1, 2, 0))
+        return img.with_data(out)
     if (
         interp in _KINTERP
         and data.dtype in (jnp.uint8, jnp.float32)
