@@ -91,14 +91,27 @@ def bench_jnp_path():
     return BATCH / sec, sec / BATCH
 
 
-def bench_fused_kernel(r_small=2, r_big=18, reps=12):
+def bench_fused_kernel(r_small=2, r_big=18, reps=24):
     """Unroll-slope timing of the fused Pallas kernel: R data-chained
     kernel invocations inside one jitted program (no fori_loop — a
     shape the remote compile service mishandles for DMA kernels), with
     a scalar readback forcing execution.  Per-batch time is the slope
     between the R_small and R_big programs; the dispatch/readback
     constant cancels, and the chained ``top`` offset (derived from the
-    previous iteration's checksum) defeats CSE/hoisting."""
+    previous iteration's checksum) defeats CSE/hoisting.
+
+    Estimator (round 5, the figure of record): **min-aggregate slope**
+    ``(min_i t_big_i − min_i t_small_i) / (R_big − R_small)`` over
+    ``reps`` interleaved samples.  Host-side noise on the tunnel is
+    one-sided (starvation/drift only ever ADD time), so the per-R
+    minima converge on the true floor, and differencing the floors is
+    robust in BOTH directions — unlike the round-4 median-of-paired-
+    slopes, which under-measured when the host clock drifted *between*
+    the two samples of a pair (the round-4 driver capture read
+    0.258 ms/batch, below the kernel's own ~0.36 ms HBM-read floor at
+    the measured 540 GB/s u8 rate).  The paired-slope median is still
+    computed as a cross-check; ``spread_pct`` reports the disagreement
+    between the two estimators."""
     import jax
     import jax.numpy as jnp
 
@@ -135,27 +148,23 @@ def bench_fused_kernel(r_small=2, r_big=18, reps=12):
     f_big = make_fn(r_big)
     once(f_small)
     once(f_big)  # compile + warm both
-    # Paired small/big samples, slope per pair: the tunnel's host-side
-    # timing drifts over seconds, so differencing ADJACENT samples
-    # cancels it where a median-of-groups slope does not (observed
-    # group-median "slopes" beating their own per-rep best).  The
-    # headline is the median of the paired slopes — reproducible run
-    # to run; min/max report the spread.
-    slopes = []
+    t_small, t_big, slopes = [], [], []
     for _ in range(reps):
         ts = once(f_small)
         tb = once(f_big)
+        t_small.append(ts)
+        t_big.append(tb)
         slopes.append(max((tb - ts) / (r_big - r_small), 1e-9))
-    per_batch = float(np.median(slopes))
-    # "best" as the 25th percentile, not the min: a single drift pair
-    # can make the min slope absurd (near-zero).
-    per_batch_best = float(np.percentile(slopes, 25))
+    per_batch = max(
+        (min(t_big) - min(t_small)) / (r_big - r_small), 1e-9
+    )
+    pair_median = float(np.median(slopes))
     return {
         "fps": BATCH / per_batch,
         "sec_per_batch": per_batch,
-        "fps_best": BATCH / per_batch_best,
+        "fps_pair_median": BATCH / pair_median,
         "spread_pct": round(
-            100.0 * (per_batch - per_batch_best) / per_batch, 1
+            100.0 * abs(pair_median - per_batch) / per_batch, 1
         ),
     }
 
@@ -201,7 +210,15 @@ def main():
     fused = None
     if not args.jnp_only:
         try:
-            fused = bench_fused_kernel()
+            # Median of 3 measurement blocks: the tunneled chip's
+            # effective bandwidth wanders ±8% over tens of seconds
+            # (single blocks read 84.7/98.6/85.0 kfps back to back,
+            # each internally consistent to <4%); the median block
+            # keeps three consecutive driver runs within ±10%.
+            blocks = [bench_fused_kernel() for _ in range(3)]
+            blocks.sort(key=lambda f: f["fps"])
+            fused = blocks[1]
+            fused["block_fps"] = [round(f["fps"], 1) for f in blocks]
         except Exception as e:  # pragma: no cover - defensive: keep the
             print(f"# fused path failed: {e!r}", file=sys.stderr)
 
@@ -232,12 +249,13 @@ def main():
                     "pallas_fused_fps": (
                         round(fused["fps"], 1) if fused else None
                     ),
-                    "pallas_fused_fps_best": (
-                        round(fused["fps_best"], 1) if fused else None
+                    "pallas_fused_fps_pair_median": (
+                        round(fused["fps_pair_median"], 1) if fused else None
                     ),
                     "rep_spread_pct": (
                         fused["spread_pct"] if fused else None
                     ),
+                    "block_fps": fused.get("block_fps") if fused else None,
                     "opencv_1thread_fps": round(cv_fps, 1),
                     "opencv_ms_per_frame": round(cv_ms, 3),
                 },
