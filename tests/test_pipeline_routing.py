@@ -217,3 +217,38 @@ def test_nv_rgb_pipeline_routes_through_fused(rng):
         want = np.asarray(Preprocessor(cfg)(nv))
     assert out.shape == want.shape == (3, 112, 112)
     assert abs(cosine_similarity(out, want) - 1) < 1e-4
+
+
+def test_describe_route():
+    """describe_route names the path a shape will take up front."""
+    import numpy as np
+
+    import vacv_tpu as vc
+    from vacv_tpu.core.types import ColorCode, Layout
+    from vacv_tpu.models import PreprocessConfig, Preprocessor
+
+    from vacv_tpu import config
+
+    pre = Preprocessor(PreprocessConfig(
+        crop_rect=vc.VRect(64, 28, 1856, 1064), out_size=(224, 224),
+        out_layout=Layout.CHW, normalize=True))
+    with config.backend("jnp"):
+        assert pre.describe_route((1080, 1920, 3)) == "vmapped_chain"
+    with config.backend("pallas"):
+        assert pre.describe_route((1080, 1920, 3)) == "pallas_fused"
+        # f32 input has no fused-kernel plan -> vmapped chain
+        assert pre.describe_route((1080, 1920, 3),
+                                  np.float32) == "vmapped_chain"
+
+        nv = Preprocessor(PreprocessConfig(
+            color_code=ColorCode.COLOR_YUV2BGR_NV21,
+            crop_rect=vc.VRect(64, 0, 1856, 1064), out_size=(224, 224),
+            out_layout=Layout.CHW, normalize=True))
+        assert nv.describe_route((1620, 1920)) == "pallas_fused_nv"
+
+        warped = Preprocessor(PreprocessConfig(
+            crop_rect=vc.VRect(64, 36, 2496, 1404),
+            warp=(((0.9, 0.03, 40.0), (-0.03, 0.9, 25.0)), (1216, 684)),
+            out_size=(224, 224), out_layout=Layout.CHW,
+            normalize=True))
+        assert warped.describe_route((1440, 2560, 3)) == "vmapped_chain"
