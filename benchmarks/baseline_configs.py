@@ -155,9 +155,13 @@ def build_tests():
     n_dev = len(jax.devices())
     per = 2  # frames per device
     batch5 = np.stack([src5] * (per * n_dev))
-    from vacv_tpu.parallel import make_mesh, put_sharded, shard_batched
+    from vacv_tpu.parallel import make_mesh, put_sharded
     mesh = make_mesh()
-    step5 = shard_batched(pre5.fn, mesh)
+    # Preprocessor.batched: per-shard the warp-config batch folds its
+    # frame axis into the warp kernel's channel axis (one off-vmap
+    # kernel call per shard — model-ranked plan, streaming allowed)
+    # instead of vmapping per-image.
+    step5 = pre5.batched(mesh)
     batch5j = put_sharded(batch5, mesh)
 
     def c5_step(i, b):
@@ -185,6 +189,9 @@ def build_tests():
 
 
 def main(reps=5):
+    from vacv_tpu import config as vconfig
+
+    vconfig.enable_compile_cache()
     prof = CvProfile(k_test_times=reps, k_log_batch_size=10)
     prof.profile(build_tests(), verbose=False)
     ok = prof.print_results()

@@ -553,6 +553,12 @@ def build_tests(sizes):
 
 
 def run_op_table(sizes=None, reps=5):
+    # Persistent compile cache: the ladder's ~60 rows each pay a
+    # 20-40 s remote-tunnel compile on a cold machine; cache them so
+    # re-runs (and bench.py, which shares programs) are seconds.
+    from vacv_tpu import config as vconfig
+
+    vconfig.enable_compile_cache()
     tests = build_tests(sizes or DEFAULT)
     # reps averages the host-side (OpenCV) samples like the reference's
     # 10x loop (cv_profile.cpp:14); the device side is already a

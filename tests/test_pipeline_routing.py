@@ -251,4 +251,33 @@ def test_describe_route():
             warp=(((0.9, 0.03, 40.0), (-0.03, 0.9, 25.0)), (1216, 684)),
             out_size=(224, 224), out_layout=Layout.CHW,
             normalize=True))
+        # Round-5: warp-config batches fold the frame axis into the
+        # warp kernel's channel axis instead of vmapping per-image.
+        assert warped.describe_route((1440, 2560, 3)) == "warp_folded_batch"
+    with config.backend("jnp"):
         assert warped.describe_route((1440, 2560, 3)) == "vmapped_chain"
+
+
+def test_warp_fold_batch_parity(rng):
+    """The warp-folded batch path must match the vmapped per-image
+    chain (same kernels, different batching — 1-ulp coordinate class)
+    and the jnp-backend chain within the normalize-scaled LSB bar."""
+    import vacv_tpu as vc
+    from vacv_tpu import config
+    from vacv_tpu.models import PreprocessConfig, Preprocessor
+
+    cfg = PreprocessConfig(
+        crop_rect=vc.VRect(8, 4, 8 + 352, 4 + 240),
+        warp=(((0.9, 0.03, 10.0), (-0.03, 0.9, 5.0)), (304, 168)),
+        out_size=(112, 112), out_layout=vc.CHW, normalize=True)
+    x = rng.integers(0, 256, size=(3, 256, 384, 3), dtype=np.uint8)
+    with config.backend("pallas"):
+        pre = Preprocessor(cfg)
+        assert pre.describe_route(x.shape[1:]) == "warp_folded_batch"
+        got = np.asarray(pre.batch(x))
+        per = np.stack([np.asarray(pre(x[i])) for i in range(3)])
+    with config.backend("jnp"):
+        want = np.asarray(Preprocessor(cfg).batch(x))
+    assert got.shape == want.shape == (3, 3, 112, 112)
+    np.testing.assert_allclose(got, per, atol=5e-2)
+    np.testing.assert_allclose(got, want, atol=5e-2)

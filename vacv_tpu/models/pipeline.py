@@ -105,6 +105,19 @@ class Preprocessor:
                 img = img.change_layout(Layout.CHW)
                 m, dsize = cfg.warp
                 img = warp_affine(img, [list(r) for r in m], tuple(dsize))
+            return tail(img)
+
+        tail = self._tail_fn()
+        return run
+
+    def _tail_fn(self):
+        """The post-warp stage chain (resize → layout → f32 →
+        normalize) as a per-image function — shared verbatim by the
+        per-image build and the warp-folded batch path so the two
+        routes stay bit-identical past the warp."""
+        cfg = self.cfg
+
+        def tail(img):
             if cfg.out_size is not None:
                 w, h = cfg.out_size
                 img = resize(img, (w, h), interpolation=cfg.interpolation)
@@ -116,7 +129,7 @@ class Preprocessor:
                 img = normalize(img, cfg.mean, cfg.stddev)
             return img.data
 
-        return run
+        return tail
 
     # -- fused-kernel routing -------------------------------------
     def _fused_geometry(self, shape, dtype):
@@ -219,7 +232,8 @@ class Preprocessor:
     def describe_route(self, shape, dtype=None) -> str:
         """Which execution path a batch of per-image ``shape`` (HWC, or
         (h*3//2, w) for NV inputs) will take: ``"pallas_fused_nv"``,
-        ``"pallas_fused"`` or ``"vmapped_chain"``.
+        ``"pallas_fused"``, ``"warp_folded_batch"`` or
+        ``"vmapped_chain"``.
 
         Round-5 observability (VERDICT r4 weak #5): a pipeline that
         silently drops to the vmapped chain (~10× off the fused
@@ -230,19 +244,90 @@ class Preprocessor:
 
         geom = self._fused_geometry(
             tuple(shape), jnp.dtype(dtype or jnp.uint8))
-        if geom is None:
-            return "vmapped_chain"
-        return "pallas_fused_nv" if geom[0] is not None else "pallas_fused"
+        if geom is not None:
+            return "pallas_fused_nv" if geom[0] is not None else "pallas_fused"
+        if self._warp_fold_ok(tuple(shape), jnp.dtype(dtype or jnp.uint8)):
+            return "warp_folded_batch"
+        return "vmapped_chain"
+
+    # -- warp batch fold ------------------------------------------
+    def _warp_fold_ok(self, shape, dtype) -> bool:
+        """Can a warp-config batch of per-image HWC ``shape`` fold its
+        frame axis into the warp kernel's channel axis?
+
+        Round-5: a vmapped warp pins the kernel to the vmap-safe
+        resident plan (``allow_stream=False`` disables both streaming
+        and the model-ranked candidate order — ops/pallas/
+        warp_affine.py:_plan); folding B frames into one (3·B)-plane
+        off-vmap call lifts both restrictions and amortizes the
+        per-strip field math over every frame.  Only the batching
+        changes — the same kernel serves, so parity with the vmapped
+        chain stays within the plan's 1-ulp coordinate class.
+        """
+        cfg = self.cfg
+        if cfg.warp is None or cfg.color_code is not None:
+            return False
+        if len(shape) != 3 or shape[-1] != 3:
+            return False
+        if not config.use_pallas():
+            return False
+        dt = jnp.dtype(dtype)
+        if dt not in (jnp.dtype(jnp.uint8), jnp.dtype(jnp.float32)):
+            return False
+        if cfg.interpolation != InterMode.INTER_LINEAR:
+            return False
+        import numpy as np
+
+        from ..ops.pallas.warp_affine import warp_supported
+        from ..ops.warp_affine import invert_affine
+
+        m, dsize = cfg.warp
+        marr = np.asarray(m, np.float64).reshape(2, 3)
+        if marr[0, 1] == 0.0 and marr[1, 0] == 0.0:
+            return False  # separable route batches fine under vmap
+        h, w = shape[0], shape[1]
+        if cfg.crop_rect is not None:
+            _, _, w, h = cfg.crop_rect.int_bounds()
+        return warp_supported(
+            invert_affine(marr), h, w, dt.itemsize,
+            w_out=int(dsize[0]), h_out=int(dsize[1]),
+            c=3, allow_stream=True, interp="linear",
+        )
+
+    def _run_warp_fold(self, batch):
+        cfg = self.cfg
+        from ..ops.warp_affine import warp_affine
+
+        b = batch.shape[0]
+        if cfg.crop_rect is not None:
+            left, top, cw, ch = cfg.crop_rect.int_bounds()
+            batch = batch[:, top : top + ch, left : left + cw]
+        planes = jnp.transpose(batch, (0, 3, 1, 2)).reshape(
+            b * 3, batch.shape[1], batch.shape[2]
+        )
+        m, dsize = cfg.warp
+        wimg = warp_affine(
+            Image(planes, Layout.CHW), [list(r) for r in m], tuple(dsize)
+        )
+        h2, w2 = wimg.data.shape[-2], wimg.data.shape[-1]
+        tail = self._tail_fn()
+        return jax.vmap(lambda p: tail(Image(p, Layout.CHW)))(
+            wimg.data.reshape(b, 3, h2, w2)
+        )
 
     def _batch_fn(self):
         """Traceable (N, ...) batch function: fused kernel when the
-        config+shape plan allows, vmapped per-image chain otherwise."""
+        config+shape plan allows; warp configs fold the frame axis
+        into the warp kernel's channel axis; vmapped per-image chain
+        otherwise."""
         per_image = self._build()
 
         def run_batch(batch):
             geom = self._fused_geometry(batch.shape[1:], batch.dtype)
             if geom is not None:
                 return self._run_fused(batch, geom)
+            if self._warp_fold_ok(batch.shape[1:], batch.dtype):
+                return self._run_warp_fold(batch)
             return jax.vmap(per_image)(batch)
 
         return run_batch

@@ -353,7 +353,13 @@ def cvt_color(src, code: ColorCode | int) -> Image:
         return Image(jnp.stack([b, g, r], axis=-1), Layout.HWC)
 
     if code not in _NV_CODES:
-        raise NotImplementedError(f"cvt_color code {code!r} not supported")
+        raise NotImplementedError(
+            f"cvt_color code {code!r} not supported; supported codes are "
+            "the NV12/NV21 YUV->BGR/RGB(A) family, YV12/I420, "
+            "GRAY<->BGR(A), BGR<->RGB(A) shuffles, and BGR<->YCrCb/YUV/"
+            "HSV (see ColorCode).  For other conversions, decode to BGR "
+            "with cv2/PIL on the host first."
+        )
 
     chans = nv_decode_channels(img.data, code)
     return Image(jnp.stack(chans, axis=-1), Layout.HWC)

@@ -224,7 +224,13 @@ def _weight_matrices(
         wy = _lanczos4_weights(h_in, h_out)
         wx = _lanczos4_weights(w_in, w_out)
     else:
-        raise NotImplementedError(f"resize mode {mode!r} not supported")
+        raise NotImplementedError(
+            f"resize mode {mode!r} not supported; supported modes are "
+            "INTER_LINEAR, INTER_CUBIC, INTER_NEAREST, INTER_AREA and "
+            "INTER_LANCZOS4.  The nearest workaround for other modes "
+            "is INTER_LINEAR (the reference's own default fallback, "
+            "resize.cpp:46-49)."
+        )
     return wy, wx
 
 
