@@ -88,12 +88,22 @@ def _pair(cv_fn, step_fn, dev_args, ref_for_cosine=None, iters=16):
             # 0.06, and round-4's single 256-iter re-measure still
             # shipped one 6x-inflated crop row) — take the min of the
             # first read and two long-loop slopes.  min is the right
-            # statistic here: jitter only ever ADDS time.
+            # statistic for jitter (it only ADDS time), but host-clock
+            # DRIFT between a slope's two samples can also SUBTRACT:
+            # round-5 caught a 2 µs chain reading 0.011 µs because a
+            # 256-iter slope carries only ~0.5 ms of signal against
+            # ms-scale tunnel drift, and min keeps the most-drifted
+            # sample.  2048 iterations put the signal 10-100x above
+            # the drift amplitude, and a floor at a quarter of the
+            # per-dispatch grid-step overhead (~0.7 us/step, at least
+            # one program dispatch per iteration) rejects any residual
+            # drift-negative slope.
             sec = min(
                 sec,
-                device_time(step_fn, *dev_args, iters=256, base_iters=2),
-                device_time(step_fn, *dev_args, iters=256, base_iters=2),
+                device_time(step_fn, *dev_args, iters=2048, base_iters=2),
+                device_time(step_fn, *dev_args, iters=2048, base_iters=2),
             )
+            sec = max(sec, 0.18e-6)
         out = np.asarray(jax.jit(step_fn)(0, *dev_args))
         cmp_ref = ref if ref_for_cosine is None else ref_for_cosine
         cos = cosine_similarity(out, cmp_ref)

@@ -18,7 +18,7 @@ import subprocess
 import sys
 
 CHILD = r"""
-import os, numpy as np, jax, jax.numpy as jnp
+import json, os, numpy as np, jax, jax.numpy as jnp
 from vacv_tpu import config as _vc
 _vc.enable_compile_cache()
 import vacv_tpu.ops.pallas.warp_affine as W
