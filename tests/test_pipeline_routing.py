@@ -281,3 +281,23 @@ def test_warp_fold_batch_parity(rng):
     assert got.shape == want.shape == (3, 3, 112, 112)
     np.testing.assert_allclose(got, per, atol=5e-2)
     np.testing.assert_allclose(got, want, atol=5e-2)
+
+
+def test_warp_fold_batch_f32(rng):
+    """f32 frame batches take the fold too (the kernel's f32 path)."""
+    import vacv_tpu as vc
+    from vacv_tpu import config
+    from vacv_tpu.models import PreprocessConfig, Preprocessor
+
+    cfg = PreprocessConfig(
+        warp=(((0.9, 0.03, 10.0), (-0.03, 0.9, 5.0)), (304, 168)),
+        out_size=(112, 112), out_layout=vc.CHW, normalize=True)
+    x = rng.integers(0, 256, size=(2, 256, 384, 3)).astype(np.float32)
+    with config.backend("pallas"):
+        pre = Preprocessor(cfg)
+        assert pre.describe_route(x.shape[1:], x.dtype) == "warp_folded_batch"
+        got = np.asarray(pre.batch(x))
+    with config.backend("jnp"):
+        want = np.asarray(Preprocessor(cfg).batch(x))
+    assert got.shape == want.shape == (2, 3, 112, 112)
+    np.testing.assert_allclose(got, want, atol=5e-2)
